@@ -1,0 +1,185 @@
+"""Benchmark: LightGCN-BPR training throughput (examples/s/chip).
+
+Prints ONE JSON line:
+  {"metric": "lightgcn_bpr_examples_per_s_per_chip", "value": N,
+   "unit": "examples/s", "vs_baseline": R}
+
+Baseline = the reference stack's hot path (`lightgcn.py`/`ncl.py` style:
+torch sparse propagation + BPR + Adam with a Python batch loop and Python
+rejection negative sampling) re-measured on this machine's CPU with torch —
+the hardware the reference actually runs on here (its CUDA path needs a GPU;
+none is present, and the reference explicitly falls back to CPU,
+`ncl.py:16`). vs_baseline = ours / reference.
+
+Run: python bench.py          (TPU via the default axon platform)
+     python bench.py --quick  (fewer epochs; same protocol)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+ML100K = dict(n_users=943, n_items=1682, n_interactions=100_000, seed=7)
+EMB = 64
+LAYERS = 3
+BATCH = 2048
+
+
+def build_dataset():
+    from recommendation_tpu.data.interaction import Interaction
+    from recommendation_tpu.data.synthetic import make_synthetic_dataset
+
+    train, test = make_synthetic_dataset(**ML100K)
+    return Interaction(train, test)
+
+
+def bench_tpu(data, epochs: int) -> float:
+    import jax
+
+    from recommendation_tpu.config import default_config
+    from recommendation_tpu.graph.device import DeviceGraph
+    from recommendation_tpu.models.lightgcn import LightGCN
+    from recommendation_tpu.train.loop import make_epoch_fn, make_optimizer
+
+    config = default_config(**{
+        "embedding.size": EMB,
+        "batch.size": BATCH,
+        "LightGCN.n_layers": LAYERS,
+        "learning.rate": 1e-3,
+    })
+    graph = DeviceGraph(data, backend="auto")
+    model = LightGCN(config)
+    params, state = model.init(jax.random.PRNGKey(0), graph)
+    optimizer = make_optimizer(config)
+    opt_state = optimizer.init(params)
+    epoch_fn = make_epoch_fn(model, optimizer, BATCH)
+    rng = jax.random.PRNGKey(1)
+
+    # warmup/compile (float() forces a host transfer — a full sync even
+    # through the remote-tunnel backend, where block_until_ready alone can
+    # return at dispatch time)
+    p, o, s, loss = epoch_fn(graph, params, opt_state, state, rng)
+    float(loss)
+
+    n_batches = -(-graph.n_edges // BATCH)
+    t0 = time.perf_counter()
+    for e in range(epochs):
+        rng, k = jax.random.split(rng)
+        p, o, s, loss = epoch_fn(graph, p, o, s, k)
+    float(loss)
+    dt = time.perf_counter() - t0
+    examples = epochs * n_batches * BATCH
+    return examples / dt
+
+
+def bench_reference_torch_cpu(data, max_batches: int = 30) -> float:
+    """Reference-shaped hot path: scipy->torch sparse adjacency, K
+    propagation rounds of torch.sparse.mm per batch, BPR + L2, Adam, Python
+    rejection negative sampling — the `ncl.py:303-338` per-batch structure."""
+    import torch
+    from random import choice, shuffle
+
+    torch.set_num_threads(max(1, torch.get_num_threads()))
+    coo = data.norm_adj.tocoo()
+    idx = torch.tensor(np.array([coo.row, coo.col]), dtype=torch.long)
+    adj = torch.sparse_coo_tensor(idx, torch.tensor(coo.data), coo.shape).coalesce()
+    n_u, n_i = data.user_num, data.item_num
+    user_emb = torch.nn.Parameter(torch.empty(n_u, EMB))
+    item_emb = torch.nn.Parameter(torch.empty(n_i, EMB))
+    torch.nn.init.xavier_uniform_(user_emb)
+    torch.nn.init.xavier_uniform_(item_emb)
+    opt = torch.optim.Adam([user_emb, item_emb], lr=1e-3)
+
+    pairs = [(data.user[r[0]], data.item[r[1]]) for r in data.training_data]
+    pos_sets = {}
+    for u, i in pairs:
+        pos_sets.setdefault(u, set()).add(i)
+    items_list = list(range(n_i))
+    shuffle(pairs)
+
+    def run(n_batches):
+        ptr = 0
+        for b in range(n_batches):
+            batch = pairs[ptr:ptr + BATCH]
+            ptr += BATCH
+            if len(batch) < BATCH:
+                ptr = 0
+                batch = pairs[:BATCH]
+            us, ps, ns = [], [], []
+            for u, i in batch:  # Python rejection sampling (selfcf.py:188-211)
+                us.append(u)
+                ps.append(i)
+                while True:
+                    j = choice(items_list)
+                    if j not in pos_sets[u]:
+                        ns.append(j)
+                        break
+            ego = torch.cat([user_emb, item_emb], 0)
+            embs = [ego]
+            for _ in range(LAYERS):
+                ego = torch.sparse.mm(adj, ego)
+                embs.append(ego)
+            mean = torch.stack(embs).mean(0)
+            ue, ie = mean[:n_u], mean[n_u:]
+            u_t = ue[torch.tensor(us)]
+            p_t = ie[torch.tensor(ps)]
+            n_t = ie[torch.tensor(ns)]
+            loss = -torch.log(
+                1e-5 + torch.sigmoid((u_t * p_t).sum(1) - (u_t * n_t).sum(1))
+            ).mean()
+            loss = loss + 1e-4 * (u_t.norm() + p_t.norm() + n_t.norm()) / BATCH
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+
+    run(3)  # warmup
+    t0 = time.perf_counter()
+    run(max_batches)
+    dt = time.perf_counter() - t0
+    return max_batches * BATCH / dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--skip-baseline", action="store_true")
+    args = ap.parse_args()
+
+    data = build_dataset()
+    epochs = 3 if args.quick else 10
+    ours = bench_tpu(data, epochs)
+    if args.skip_baseline:
+        ref = None
+        vs = None
+    else:
+        try:
+            ref = bench_reference_torch_cpu(data, max_batches=10 if args.quick else 30)
+            vs = ours / ref
+        except Exception as e:  # keep the bench line intact even if torch fails
+            print(f"baseline measurement failed: {e}", file=sys.stderr)
+            ref, vs = None, None
+
+    print(
+        json.dumps(
+            {
+                "metric": "lightgcn_bpr_examples_per_s_per_chip",
+                "value": round(ours, 1),
+                "unit": "examples/s",
+                "vs_baseline": round(vs, 2) if vs is not None else None,
+            }
+        )
+    )
+    if ref is not None:
+        print(
+            f"# ours={ours:,.0f} ex/s  reference-stack(torch-cpu)={ref:,.0f} ex/s",
+            file=sys.stderr,
+        )
+
+
+if __name__ == "__main__":
+    main()

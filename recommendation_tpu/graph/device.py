@@ -1,0 +1,225 @@
+"""Device-resident graph structures.
+
+The reference keeps its graph as a ``torch.sparse_coo_tensor`` and multiplies
+it per batch (`ncl.py:419`, `selfcf.py:479`). TPU-first design instead:
+
+  * ONE host→device upload at build time (SURVEY.md §3 boundary collapse);
+  * adjacency as **sorted, padded COO** arrays with static shapes — the form
+    XLA fuses best for ``segment_sum``-based propagation;
+  * an optional **dense** materialization for graphs small enough that a
+    blocked MXU matmul beats scatter (on TPUs dense matmul throughput is
+    ~100× scatter throughput, so up to a few-hundred-MB adjacency the dense
+    path wins — this is the deliberately non-CUDA-shaped choice);
+  * degree-normalization computed **on device from an edge keep-mask**, so
+    augmentation (edge dropout) never leaves the device and never changes
+    array shapes — jit-stable.
+
+``DeviceAdj`` is a pytree and can flow through ``jit``/``grad``/``shard_map``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["rows", "cols", "vals", "dense"],
+    meta_fields=["n_rows", "n_cols", "backend"],
+)
+@dataclasses.dataclass
+class DeviceAdj:
+    """Normalized sparse adjacency on device.
+
+    rows/cols/vals are padded to a static length; padding entries carry
+    ``val == 0`` and point at row/col 0, so they contribute nothing.
+    ``dense`` is the materialized matrix when the dense backend is active.
+    """
+
+    rows: jnp.ndarray  # i32[E_pad], sorted ascending
+    cols: jnp.ndarray  # i32[E_pad]
+    vals: jnp.ndarray  # f32[E_pad]
+    dense: Optional[jnp.ndarray]  # f32[n_rows, n_cols] or None
+    n_rows: int
+    n_cols: int
+    backend: str  # 'dense' | 'segment' | 'pallas'
+
+    @property
+    def shape(self):
+        return (self.n_rows, self.n_cols)
+
+    def transpose(self) -> "DeviceAdj":
+        order = jnp.argsort(self.cols)
+        return DeviceAdj(
+            rows=self.cols[order],
+            cols=self.rows[order],
+            vals=self.vals[order],
+            dense=None if self.dense is None else self.dense.T,
+            n_rows=self.n_cols,
+            n_cols=self.n_rows,
+            backend=self.backend,
+        )
+
+
+# Graphs whose dense adjacency is at most this many f32 elements use the MXU
+# dense path (128M elems = 512 MB; a v5e chip has 16 GB HBM).
+DENSE_MAX_ELEMENTS = 128 * 1024 * 1024
+
+
+def choose_backend(n_rows: int, n_cols: int, requested: str = "auto") -> str:
+    if requested != "auto":
+        return requested
+    return "dense" if n_rows * n_cols <= DENSE_MAX_ELEMENTS else "segment"
+
+
+def from_scipy(mat: sp.spmatrix, backend: str = "auto", pad_to: int = 8) -> DeviceAdj:
+    """Upload a scipy sparse matrix as a DeviceAdj (one-shot host→device)."""
+    coo = sp.coo_matrix(mat, dtype=np.float32)
+    order = np.argsort(coo.row, kind="stable")
+    rows = coo.row[order].astype(np.int32)
+    cols = coo.col[order].astype(np.int32)
+    vals = coo.data[order].astype(np.float32)
+    n_rows, n_cols = coo.shape
+    backend = choose_backend(n_rows, n_cols, backend)
+
+    e_pad = max(pad_to, _round_up(len(vals), pad_to))
+    rows = np.pad(rows, (0, e_pad - len(rows)), constant_values=n_rows - 1)
+    cols = np.pad(cols, (0, e_pad - len(cols)))
+    vals = np.pad(vals, (0, e_pad - len(vals)))
+
+    dense = None
+    if backend == "dense":
+        dense = jnp.asarray(np.asarray(mat.todense(), dtype=np.float32))
+    return DeviceAdj(
+        rows=jnp.asarray(rows),
+        cols=jnp.asarray(cols),
+        vals=jnp.asarray(vals),
+        dense=dense,
+        n_rows=n_rows,
+        n_cols=n_cols,
+        backend=backend,
+    )
+
+
+def densify(adj: DeviceAdj) -> jnp.ndarray:
+    """Materialize the dense matrix from COO on device (used to refresh the
+    dense backend after an on-device re-normalization / augmentation)."""
+    if adj.dense is not None:
+        return adj.dense
+    out = jnp.zeros((adj.n_rows, adj.n_cols), dtype=adj.vals.dtype)
+    return out.at[adj.rows, adj.cols].add(adj.vals)
+
+
+@jax.tree_util.register_pytree_node_class
+class DeviceGraph:
+    """All device-side state derived from an ``Interaction``.
+
+    Holds the raw (static-shape) bipartite edge arrays plus prebuilt
+    normalized adjacencies. Edge dropout re-derives normalization on device
+    via :meth:`normalized_bipartite` with a keep-mask — no host round trip,
+    no shape change (replaces `univariate/sept.py:53-61`'s scipy resampling).
+    """
+
+    def __init__(self, data, backend: str = "auto", pad_to: int = 8):
+        self.n_users = data.user_num
+        self.n_items = data.item_num
+        self.n_nodes = self.n_users + self.n_items
+        self.backend = choose_backend(self.n_nodes, self.n_nodes, backend)
+
+        e = len(data.edge_users)
+        e_pad = max(pad_to, _round_up(e, pad_to))
+        users = np.pad(data.edge_users, (0, e_pad - e))
+        items = np.pad(data.edge_items, (0, e_pad - e))
+        valid = np.zeros(e_pad, dtype=np.float32)
+        valid[:e] = 1.0
+        self.n_edges = e
+        self.edge_users = jnp.asarray(users)  # i32[E_pad] user node ids
+        self.edge_items = jnp.asarray(items)  # i32[E_pad] item ids (0-based)
+        self.edge_valid = jnp.asarray(valid)  # f32[E_pad] 1 for real edges
+
+        # Prebuilt normalized bipartite adjacency (the LightGCN propagation
+        # operator) and the user×item interaction matrix.
+        self.norm_adj = from_scipy(data.norm_adj, backend=self.backend, pad_to=pad_to)
+        self.interaction = from_scipy(data.interaction_mat, backend=self.backend, pad_to=pad_to)
+
+        # Per-user positives as a padded [n_users, max_deg] table for device
+        # negative-sampling rejection and eval masking.
+        mat = data.interaction_mat
+        degs = np.diff(mat.indptr)
+        self.max_degree = int(degs.max()) if len(degs) else 0
+        pos = np.full((self.n_users, max(1, self.max_degree)), -1, dtype=np.int32)
+        for u in range(self.n_users):
+            row = mat.indices[mat.indptr[u]:mat.indptr[u + 1]]
+            pos[u, : len(row)] = row
+        self.user_positives = jnp.asarray(pos)  # i32[n_users, max_deg], -1 pad
+        self.user_degrees = jnp.asarray(degs.astype(np.int32))
+
+    # -- pytree protocol (so a DeviceGraph can be a jit argument) -------------
+
+    _DATA_FIELDS = (
+        "edge_users", "edge_items", "edge_valid",
+        "norm_adj", "interaction", "user_positives", "user_degrees",
+    )
+    _META_FIELDS = ("n_users", "n_items", "n_nodes", "n_edges", "max_degree", "backend")
+
+    def tree_flatten(self):
+        children = tuple(getattr(self, f) for f in self._DATA_FIELDS)
+        meta = tuple(getattr(self, f) for f in self._META_FIELDS)
+        return children, meta
+
+    @classmethod
+    def tree_unflatten(cls, meta, children):
+        obj = object.__new__(cls)
+        for f, v in zip(cls._DATA_FIELDS, children):
+            setattr(obj, f, v)
+        for f, v in zip(cls._META_FIELDS, meta):
+            setattr(obj, f, v)
+        return obj
+
+    # -- on-device normalized adjacency under an edge keep-mask ---------------
+
+    def normalized_bipartite(self, keep_mask: Optional[jnp.ndarray] = None) -> DeviceAdj:
+        """Build D^-1/2 (A∘mask) D^-1/2 for the bipartite graph, on device.
+
+        ``keep_mask`` is f32[E_pad] in {0,1} over the *interaction* edges; both
+        directions of a kept edge survive (matching scipy-side dropout +
+        renormalize in the reference augmentors)."""
+        mask = self.edge_valid if keep_mask is None else self.edge_valid * keep_mask
+        u_nodes = self.edge_users
+        i_nodes = self.edge_items + self.n_users
+        deg = jnp.zeros(self.n_nodes, dtype=jnp.float32)
+        deg = deg.at[u_nodes].add(mask)
+        deg = deg.at[i_nodes].add(mask)
+        inv_sqrt = jnp.where(deg > 0, jax.lax.rsqrt(jnp.maximum(deg, 1e-12)), 0.0)
+        vals = mask * inv_sqrt[u_nodes] * inv_sqrt[i_nodes]
+
+        rows = jnp.concatenate([u_nodes, i_nodes])
+        cols = jnp.concatenate([i_nodes, u_nodes])
+        both_vals = jnp.concatenate([vals, vals])
+        dense = None
+        if self.backend == "dense":
+            dense = (
+                jnp.zeros((self.n_nodes, self.n_nodes), dtype=jnp.float32)
+                .at[rows, cols]
+                .add(both_vals)
+            )
+        return DeviceAdj(
+            rows=rows,
+            cols=cols,
+            vals=both_vals,
+            dense=dense,
+            n_rows=self.n_nodes,
+            n_cols=self.n_nodes,
+            backend=self.backend,
+        )

@@ -1,0 +1,128 @@
+"""GAT recommender — 2-layer multi-head graph attention over the bipartite
+graph.
+
+Parity target: `gat.py:14-40`: learned id embeddings → dropout → GATConv
+(heads, attention dropout, LeakyReLU negative slope) → ELU → dropout →
+GATConv (1 head) → split user/item; BPR loss.
+
+The per-edge attention softmax (torch_scatter CUDA in PyG) runs as the
+``segment_softmax`` TPU primitive (SURVEY.md §2.4 row 2): per-edge logits
+e_ij = LeakyReLU(aₛᵀWx_src + a_dᵀWx_dst), normalized over each destination's
+incoming edges, with attention-weight dropout.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from recommendation_tpu.graph.device import DeviceGraph
+from recommendation_tpu.losses import bpr_loss, l2_reg_loss
+from recommendation_tpu.models.base import Model
+from recommendation_tpu.models.graphsage import bidirectional_edges
+from recommendation_tpu.models.registry import register
+from recommendation_tpu.sampling import PairwiseBatch
+
+
+def gat_layer(
+    x, src, dst, mask, n_nodes, w, a_src, a_dst, heads, neg_slope, rng, att_drop
+):
+    """Multi-head GAT conv. x: [N, d_in]; w: [d_in, H*d]; a_*: [H, d].
+    Returns [N, H*d] (concat heads)."""
+    d = a_src.shape[1]
+    h = (x @ w).reshape(-1, heads, d)  # [N, H, d]
+    alpha_src = jnp.einsum("nhd,hd->nh", h, a_src)  # [N, H]
+    alpha_dst = jnp.einsum("nhd,hd->nh", h, a_dst)
+    e = jax.nn.leaky_relu(alpha_src[src] + alpha_dst[dst], neg_slope)  # [E, H]
+    e = jnp.where(mask[:, None] > 0, e, -jnp.inf)
+
+    # segment softmax over destination, per head
+    seg_max = jax.ops.segment_max(e, dst, num_segments=n_nodes)
+    seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)
+    exp = jnp.where(mask[:, None] > 0, jnp.exp(e - seg_max[dst]), 0.0)
+    denom = jax.ops.segment_sum(exp, dst, num_segments=n_nodes)
+    att = exp / (denom[dst] + 1e-16)  # [E, H]
+
+    if rng is not None and att_drop > 0:
+        keep = jax.random.bernoulli(rng, 1.0 - att_drop, att.shape)
+        att = jnp.where(keep, att / (1.0 - att_drop), 0.0)
+
+    msgs = h[src] * att[:, :, None]  # [E, H, d]
+    out = jax.ops.segment_sum(msgs, dst, num_segments=n_nodes)
+    return out.reshape(n_nodes, heads * d)
+
+
+@register("gat")
+class GAT(Model):
+    name = "gat"
+
+    def __init__(self, config):
+        super().__init__(config)
+        self.heads = int(config.get("GAT.num_heads", 4))
+        self.hidden = int(config.get("GAT.hidden", 64))
+        self.dropout = float(config.get("GAT.dropout", 0.2))
+        self.edge_dropout = float(config.get("GAT.edge_dropout", 0.2))
+        self.neg_slope = float(config.get("GAT.neg_slope", 0.2))
+
+    def init(self, rng, graph: DeviceGraph):
+        ku, ki, kw1, ka1, kb1, kw2, ka2, kb2 = jax.random.split(rng, 8)
+        d_in, h, heads, d_out = self.emb_size, self.hidden, self.heads, self.emb_size
+
+        def glorot(key, shape):
+            limit = jnp.sqrt(6.0 / (shape[0] + shape[-1]))
+            return jax.random.uniform(key, shape, jnp.float32, -limit, limit)
+
+        params = {
+            "user_emb": self._init_table(ku, graph.n_users, d_in),
+            "item_emb": self._init_table(ki, graph.n_items, d_in),
+            "gat1": {
+                "w": glorot(kw1, (d_in, heads * h)),
+                "a_src": glorot(ka1, (heads, h)),
+                "a_dst": glorot(kb1, (heads, h)),
+            },
+            "gat2": {
+                "w": glorot(kw2, (heads * h, d_out)),
+                "a_src": glorot(ka2, (1, d_out)),
+                "a_dst": glorot(kb2, (1, d_out)),
+            },
+        }
+        return params, {}
+
+    def _forward(self, params, graph: DeviceGraph, rng=None):
+        src, dst, mask = bidirectional_edges(graph)
+        x = jnp.concatenate([params["user_emb"], params["item_emb"]], axis=0)
+
+        def maybe_dropout(key, t):
+            if key is None or self.dropout <= 0:
+                return t
+            keep = jax.random.bernoulli(key, 1.0 - self.dropout, t.shape)
+            return jnp.where(keep, t / (1.0 - self.dropout), 0.0)
+
+        k1 = k2 = k3 = k4 = None
+        if rng is not None:
+            k1, k2, k3, k4 = jax.random.split(rng, 4)
+        x = maybe_dropout(k1, x)
+        x = gat_layer(
+            x, src, dst, mask, graph.n_nodes,
+            params["gat1"]["w"], params["gat1"]["a_src"], params["gat1"]["a_dst"],
+            self.heads, self.neg_slope, k2, self.edge_dropout if rng is not None else 0.0,
+        )
+        x = jax.nn.elu(x)
+        x = maybe_dropout(k3, x)
+        x = gat_layer(
+            x, src, dst, mask, graph.n_nodes,
+            params["gat2"]["w"], params["gat2"]["a_src"], params["gat2"]["a_dst"],
+            1, self.neg_slope, k4, self.edge_dropout if rng is not None else 0.0,
+        )
+        return x[: graph.n_users], x[graph.n_users :]
+
+    def loss(self, params, state, batch: PairwiseBatch, graph: DeviceGraph, rng):
+        user_all, item_all = self._forward(params, graph, rng)
+        u = user_all[batch.users]
+        pos = item_all[batch.pos_items]
+        neg = item_all[batch.neg_items]
+        loss = bpr_loss(u, pos, neg) + l2_reg_loss(self.reg, u, pos, neg) / batch.users.shape[0]
+        return loss, state
+
+    def eval_embeddings(self, params, state, graph: DeviceGraph):
+        return self._forward(params, graph, rng=None)

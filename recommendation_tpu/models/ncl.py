@@ -1,0 +1,126 @@
+"""NCL — Neighborhood-enriched Contrastive Learning.
+
+Parity target: `ncl.py:282-422`. LightGCN encoder keeping per-layer
+embeddings; loss = BPR + structure-contrastive SSL (layer-2k vs layer-0,
+full-catalog denominator, summed over the batch — `ncl.py:358-367`)
++ prototype-contrastive ProtoNCE over k-means clusters (`ncl.py:369-375`).
+
+The faiss E-step (`ncl.py:347-356`) becomes on-device JAX k-means
+(``ops/kmeans.py``). The reference pathologically re-clusters EVERY BATCH
+(`ncl.py:324` — SURVEY.md §3 hot loop #4); here the cadence is a config knob
+``NCL.e_step_cadence`` defaulting to once per epoch (documented divergence,
+SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from recommendation_tpu.graph.device import DeviceGraph
+from recommendation_tpu.losses import bpr_loss, info_nce, l2_reg_loss
+from recommendation_tpu.models.base import Model
+from recommendation_tpu.models.lightgcn import lightgcn_propagate
+from recommendation_tpu.models.registry import register
+from recommendation_tpu.ops.kmeans import kmeans
+from recommendation_tpu.sampling import PairwiseBatch
+
+
+def _l2n(x):
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+
+
+@register("ncl")
+class NCL(Model):
+    name = "ncl"
+
+    def __init__(self, config):
+        super().__init__(config)
+        self.n_layers = int(config.get("NCL.n_layers", 3))
+        self.ssl_temp = float(config.get("NCL.tau", 0.1))
+        self.ssl_reg = float(config.get("NCL.ssl_reg", 1e-6))
+        self.proto_reg = float(config.get("NCL.proto_reg", 1e-7))
+        self.hyper_layers = int(config.get("NCL.hyper_layers", 1))
+        self.alpha = float(config.get("NCL.alpha", 1.0))
+        self.num_clusters = int(config.get("NCL.num_clusters", 100))
+        self.kmeans_iters = int(config.get("NCL.kmeans_iters", 10))
+
+    def _k_for(self, n: int) -> int:
+        """k capped at max(2, n//39) (`ncl.py:350-351`)."""
+        return min(self.num_clusters, max(2, n // 39))
+
+    def init(self, rng, graph: DeviceGraph):
+        ku, ki = jax.random.split(rng)
+        params = {
+            "user_emb": self._init_table(ku, graph.n_users, self.emb_size),
+            "item_emb": self._init_table(ki, graph.n_items, self.emb_size),
+        }
+        ku_k = self._k_for(graph.n_users)
+        ki_k = self._k_for(graph.n_items)
+        state = {
+            "user_centroids": jnp.zeros((ku_k, self.emb_size)),
+            "user_2cluster": jnp.zeros((graph.n_users,), jnp.int32),
+            "item_centroids": jnp.zeros((ki_k, self.emb_size)),
+            "item_2cluster": jnp.zeros((graph.n_items,), jnp.int32),
+        }
+        return params, state
+
+    def _forward_layers(self, params, graph: DeviceGraph):
+        return lightgcn_propagate(
+            params["user_emb"], params["item_emb"], graph.norm_adj,
+            self.n_layers, return_layers=True,
+        )
+
+    def epoch_begin(self, params, state, graph: DeviceGraph, rng, epoch: int):
+        """E-step: k-means over current mean embeddings (`ncl.py:340-356`)."""
+        user_all, item_all, _ = self._forward_layers(params, graph)
+        k1, k2 = jax.random.split(rng)
+        uc, ua = kmeans(k1, user_all, self._k_for(graph.n_users), self.kmeans_iters)
+        ic, ia = kmeans(k2, item_all, self._k_for(graph.n_items), self.kmeans_iters)
+        return {
+            "user_centroids": uc,
+            "user_2cluster": ua.astype(jnp.int32),
+            "item_centroids": ic,
+            "item_2cluster": ia.astype(jnp.int32),
+        }
+
+    def _ssl_layer_loss(self, context, initial, users, items, n_users):
+        """Layer-contrast InfoNCE with full-catalog denominators, SUMMED over
+        the batch (`ncl.py:358-367`)."""
+        cu, ci = context[:n_users], context[n_users:]
+        iu, ii = initial[:n_users], initial[n_users:]
+        n_cu, n_iu = _l2n(cu[users]), _l2n(iu[users])
+        n_ci, n_ii = _l2n(ci[items]), _l2n(ii[items])
+        pos_u = jnp.sum(n_cu * n_iu, axis=1) / self.ssl_temp
+        denom_u = jax.nn.logsumexp(n_cu @ _l2n(iu).T / self.ssl_temp, axis=1)
+        loss_u = -jnp.sum(pos_u - denom_u)
+        pos_i = jnp.sum(n_ci * n_ii, axis=1) / self.ssl_temp
+        denom_i = jax.nn.logsumexp(n_ci @ _l2n(ii).T / self.ssl_temp, axis=1)
+        loss_i = -jnp.sum(pos_i - denom_i)
+        return self.ssl_reg * (loss_u + self.alpha * loss_i)
+
+    def _proto_nce(self, state, initial, users, items, n_users, batch_size):
+        """InfoNCE against assigned centroids ×B (`ncl.py:369-375`)."""
+        user_emb = initial[:n_users]
+        item_emb = initial[n_users:]
+        u2c = state["user_centroids"][state["user_2cluster"][users]]
+        i2c = state["item_centroids"][state["item_2cluster"][items]]
+        loss_u = info_nce(user_emb[users], u2c, self.ssl_temp) * batch_size
+        loss_i = info_nce(item_emb[items], i2c, self.ssl_temp) * batch_size
+        return self.proto_reg * (loss_u + loss_i)
+
+    def loss(self, params, state, batch: PairwiseBatch, graph: DeviceGraph, rng):
+        user_all, item_all, layers = self._forward_layers(params, graph)
+        users, pos, neg = batch.users, batch.pos_items, batch.neg_items
+        rec = bpr_loss(user_all[users], item_all[pos], item_all[neg])
+        initial = layers[0]
+        ctx_idx = self.hyper_layers * 2
+        context = layers[-1] if ctx_idx >= len(layers) else layers[ctx_idx]
+        ssl = self._ssl_layer_loss(context, initial, users, pos, graph.n_users)
+        proto = self._proto_nce(state, initial, users, pos, graph.n_users, users.shape[0])
+        reg = l2_reg_loss(self.reg, user_all[users], item_all[pos], item_all[neg]) / users.shape[0]
+        return rec + reg + ssl + proto, state
+
+    def eval_embeddings(self, params, state, graph: DeviceGraph):
+        user_all, item_all, _ = self._forward_layers(params, graph)
+        return user_all, item_all

@@ -1,0 +1,64 @@
+"""Top-k retrieval primitives (layer L7 hot path).
+
+Replaces the numba heap ``find_k_largest`` (`ncl.py:180-192`,
+`ssl4rec.py:94-102`) and per-user numpy argsort (`lightgcn.py:57`) with
+MXU-scored MIPS + ``lax.top_k``, train-positive masking done on device
+(−1e8 sentinel exactly as `selfcf.py:419-421`).
+
+The sharded variant (items split across mesh shards, local top-k + gathered
+merge) lives in ``parallel/collectives.py``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+MASK_VALUE = -1e8
+
+
+def mask_trained(scores: jnp.ndarray, user_positives: jnp.ndarray) -> jnp.ndarray:
+    """Mask each user's train positives to −1e8.
+
+    scores: f32[B, n_items]; user_positives: i32[B, max_deg] padded with −1.
+    Scatter of a constant over ≤max_deg columns per row — O(B·max_deg)."""
+    b = scores.shape[0]
+    row_idx = jnp.broadcast_to(jnp.arange(b)[:, None], user_positives.shape)
+    safe_cols = jnp.maximum(user_positives, 0)
+    # scatter-min: real positives take MASK_VALUE, pad entries (−1) take +inf
+    # which leaves the original score untouched.
+    fill = jnp.where(user_positives >= 0, MASK_VALUE, jnp.inf)
+    return scores.at[row_idx.reshape(-1), safe_cols.reshape(-1)].min(fill.reshape(-1))
+
+
+def masked_topk(
+    scores: jnp.ndarray, user_positives: jnp.ndarray, k: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(top_scores, top_ids) over items with train positives excluded."""
+    masked = mask_trained(scores, user_positives)
+    return jax.lax.top_k(masked, k)
+
+
+def topk_with_exclusions(
+    user_emb: jnp.ndarray,
+    item_emb: jnp.ndarray,
+    user_positives: jnp.ndarray,
+    k: int,
+    batch_size: int = 1024,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Full-catalog MIPS top-k for a block of users, batched to bound the
+    [B, n_items] score buffer. Returns (scores f32[U,k], ids i32[U,k])."""
+
+    n = user_emb.shape[0]
+
+    def score_block(u_emb, u_pos):
+        scores = jnp.dot(u_emb, item_emb.T, preferred_element_type=jnp.float32)
+        return masked_topk(scores, u_pos, k)
+
+    outs_s, outs_i = [], []
+    block = jax.jit(score_block)
+    for start in range(0, n, batch_size):
+        s, i = block(user_emb[start:start + batch_size], user_positives[start:start + batch_size])
+        outs_s.append(s)
+        outs_i.append(i)
+    return jnp.concatenate(outs_s), jnp.concatenate(outs_i)

@@ -1,0 +1,85 @@
+"""Jit-compiled training machinery (layer L6 core).
+
+The reference runs a Python batch loop with per-batch host↔device chatter
+(`selfcf.py:547-563`, SURVEY.md §3.2). Here a whole epoch is ONE device
+program: shuffle → negative sampling → ``lax.scan`` over fixed-shape batches
+of (grad → optax update → post-step state update). The step compiles once and
+is reused for every epoch and every tuner config with the same shapes.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from recommendation_tpu.graph.device import DeviceGraph
+from recommendation_tpu.models.base import Model
+from recommendation_tpu.sampling import PairwiseBatch, sample_negatives, shuffled_epoch
+
+
+def make_optimizer(config) -> optax.GradientTransformation:
+    """optax mirror of the reference's configurable torch optimizers
+    (`lightgcn.py:80` ``getattr(torch.optim, ...)``, `selfcf.py:541-546`
+    adam/sgd switch)."""
+    lr = float(config.get("learning.rate", 1e-3))
+    name = str(config.get("optimizer", "adam")).lower()
+    if name == "adam":
+        return optax.adam(lr)
+    if name == "adamw":
+        return optax.adamw(lr, weight_decay=float(config.get("weight.decay", 0.01)))
+    if name == "sgd":
+        return optax.sgd(lr, momentum=float(config.get("momentum", 0.9)))
+    raise ValueError(f"unknown optimizer {name!r}")
+
+
+def make_epoch_fn(
+    model: Model,
+    optimizer: optax.GradientTransformation,
+    batch_size: int,
+    n_negs_redraws: int = 4,
+) -> Callable:
+    """Build a jitted function running one full epoch on device.
+
+    Signature: epoch_fn(graph, params, opt_state, state, rng)
+            -> (params, opt_state, state, mean_loss)
+    """
+
+    def loss_wrapper(params, state, batch, graph, rng):
+        loss, new_state = model.loss(params, state, batch, graph, rng)
+        return loss, new_state
+
+    grad_fn = jax.value_and_grad(loss_wrapper, has_aux=True)
+
+    def epoch_fn(graph: DeviceGraph, params, opt_state, state, rng):
+        shuffle_key, neg_key, step_key = jax.random.split(rng, 3)
+        users, items, weights, n_batches = shuffled_epoch(shuffle_key, graph, batch_size)
+        neg_keys = jax.random.split(neg_key, n_batches)
+        negs = jax.vmap(lambda k, u: sample_negatives(k, graph, u, n_negs_redraws))(
+            neg_keys, users
+        )
+        step_keys = jax.random.split(step_key, n_batches)
+
+        def step(carry, xs):
+            params, opt_state, state = carry
+            u, i, j, w, k = xs
+            batch = PairwiseBatch(u, i, j, w)
+            (loss, new_state), grads = grad_fn(params, state, batch, graph, k)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            new_state = model.post_step(params, new_state, batch)
+            return (params, opt_state, new_state), loss
+
+        (params, opt_state, state), losses = jax.lax.scan(
+            step, (params, opt_state, state), (users, items, negs, weights, step_keys)
+        )
+        return params, opt_state, state, jnp.mean(losses)
+
+    return jax.jit(epoch_fn)
+
+
+def tree_copy(tree: Any) -> Any:
+    """Snapshot a pytree (JAX arrays are immutable; identity refs suffice)."""
+    return jax.tree_util.tree_map(lambda x: x, tree)

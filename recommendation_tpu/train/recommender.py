@@ -1,0 +1,171 @@
+"""Recommender lifecycle (layer L6).
+
+Mirrors the reference's ``Recommender → GraphRecommender`` base-class
+contract — ``build / train / test / evaluate / fast_evaluation / save /
+execute`` (`selfcf.py:331-453`, `ncl.py:234-277`, `directau.py:147-191`) —
+on top of the jitted epoch machinery.
+
+Quality-control behaviors carried over (SURVEY.md §5):
+  * per-epoch ``fast_evaluation`` with best-model tracking by Recall@maxN
+    (`ncl.py:271-277`) or metric majority vote (`selfcf.py:437-444`),
+    selected via ``model.selection`` config;
+  * in-memory best snapshot + restore (`selfcf.py:575-579`);
+  * early stopping with patience (`ssl4rec.py:213,240-244`);
+  * per-step NaN guard (NaN-loss abort, `univariate/diffnet.py:782-786`).
+Disk checkpoints (which the reference lacks) live in ``train/checkpoint.py``.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from recommendation_tpu.config import Config, default_config
+from recommendation_tpu.data.interaction import Interaction
+from recommendation_tpu.evalx.ranking import RankingResult, evaluate_ranking
+from recommendation_tpu.graph.device import DeviceGraph
+from recommendation_tpu.models.base import Model
+from recommendation_tpu.train.loop import make_epoch_fn, make_optimizer, tree_copy
+from recommendation_tpu.utils.logging import Log
+
+
+class GraphRecommender:
+    def __init__(
+        self,
+        model: Model,
+        data: Interaction,
+        config: Optional[Config] = None,
+        graph: Optional[DeviceGraph] = None,
+        log: Optional[Log] = None,
+    ):
+        self.model = model
+        self.data = data
+        self.config = config if config is not None else default_config()
+        self.graph = graph if graph is not None else DeviceGraph(
+            data, backend=self.config.get("graph.backend", "auto")
+        )
+        self.log = log or Log(name=model.name)
+        self.topN = list(self.config.get("item.ranking.topN", [10, 20, 30, 50]))
+        self.max_N = max(self.topN)
+        self.batch_size = int(self.config.get("batch.size", 2048))
+        self.max_epoch = int(self.config.get("max.epoch", 30))
+        self.eval_interval = int(self.config.get("eval.interval", 1))
+        self.patience = self.config.get("early.stopping.patience", None)
+        self.selection = str(self.config.get("model.selection", "recall"))
+
+        self.params = None
+        self.state = None
+        self.opt_state = None
+        self.best_params = None
+        self.best_state = None
+        self.best_metrics: Dict[str, float] = {}
+        self.best_epoch = -1
+        self.history: list[dict] = []
+
+    # -- lifecycle ------------------------------------------------------------
+
+    def print_model_info(self):
+        u, i, e = self.data.training_size()
+        self.log.add(
+            f"model={self.model.name} users={u} items={i} interactions={e} "
+            f"backend={self.graph.backend} emb={self.model.emb_size}"
+        )
+
+    def build(self):
+        rng = jax.random.PRNGKey(int(self.config.get("seed", 0)))
+        self.params, self.state = self.model.init(rng, self.graph)
+        self.optimizer = make_optimizer(self.config)
+        self.opt_state = self.optimizer.init(self.params)
+        self._epoch_fn = make_epoch_fn(self.model, self.optimizer, self.batch_size)
+        self._rng = jax.random.PRNGKey(int(self.config.get("seed", 0)) + 1)
+
+    def train(self):
+        bad_epochs = 0
+        for epoch in range(self.max_epoch):
+            t0 = time.perf_counter()
+            self._rng, ek, tk = jax.random.split(self._rng, 3)
+            self.state = self.model.epoch_begin(
+                self.params, self.state, self.graph, ek, epoch
+            )
+            self.params, self.opt_state, self.state, loss = self._epoch_fn(
+                self.graph, self.params, self.opt_state, self.state, tk
+            )
+            loss = float(loss)
+            dt = time.perf_counter() - t0
+            if math.isnan(loss):
+                self.log.add(f"epoch {epoch}: loss is NaN — aborting (diffnet.py:782-786 guard)")
+                break
+            self.log.add(f"epoch {epoch}: loss={loss:.5f} ({dt:.2f}s)")
+            if (epoch + 1) % self.eval_interval == 0 or epoch == self.max_epoch - 1:
+                improved = self.fast_evaluation(epoch)
+                bad_epochs = 0 if improved else bad_epochs + 1
+                if self.patience is not None and bad_epochs > int(self.patience):
+                    self.log.add(f"early stop at epoch {epoch} (patience {self.patience})")
+                    break
+        if self.best_params is not None:
+            self.params, self.state = self.best_params, self.best_state
+
+    def test(self) -> RankingResult:
+        user_emb, item_emb = self.model.eval_embeddings(self.params, self.state, self.graph)
+        return evaluate_ranking(
+            user_emb, item_emb, self.data, self.graph, Ns=self.topN,
+            batch_size=int(self.config.get("eval.batch.size", 1024)),
+        )
+
+    def evaluate(self) -> Dict[str, float]:
+        result = self.test()
+        for line in result.report(self.data, self.topN):
+            self.log.add(line.rstrip("\n"))
+        return result.metrics
+
+    def predict(self, user) -> np.ndarray:
+        """Scores over all items for an external user id (`selfcf.py:581`)."""
+        uid = self.data.get_user_id(user)
+        user_emb, item_emb = self.model.eval_embeddings(self.params, self.state, self.graph)
+        return np.asarray(user_emb[uid] @ item_emb.T)
+
+    def execute(self) -> Dict[str, float]:
+        """print info → build → train → test → evaluate (`selfcf.py:378-387`)."""
+        self.print_model_info()
+        self.build()
+        self.train()
+        return self.evaluate()
+
+    # -- model selection ------------------------------------------------------
+
+    def _is_better(self, metrics: Dict[str, float]) -> bool:
+        if not self.best_metrics:
+            return True
+        if self.selection == "majority":
+            # Count improved metrics at max-N (`selfcf.py:437-444`).
+            keys = [f"{m}@{self.max_N}" for m in ("HitRatio", "Precision", "Recall", "NDCG")]
+            better = sum(metrics[k] > self.best_metrics[k] for k in keys)
+            return better > len(keys) / 2
+        return metrics[f"Recall@{self.max_N}"] > self.best_metrics.get(
+            f"Recall@{self.max_N}", -1.0
+        )
+
+    def fast_evaluation(self, epoch: int) -> bool:
+        user_emb, item_emb = self.model.eval_embeddings(self.params, self.state, self.graph)
+        result = evaluate_ranking(
+            user_emb, item_emb, self.data, self.graph, Ns=[self.max_N],
+            batch_size=int(self.config.get("eval.batch.size", 1024)),
+        )
+        metrics = result.metrics
+        self.history.append({"epoch": epoch, **metrics})
+        improved = self._is_better(metrics)
+        if improved:
+            self.best_metrics = dict(metrics)
+            self.best_epoch = epoch
+            self.best_params = tree_copy(self.params)
+            self.best_state = tree_copy(self.state)
+        self.log.add(
+            f"  eval@{epoch}: "
+            + " ".join(f"{k}={v:.5f}" for k, v in metrics.items())
+            + (" *best*" if improved else "")
+        )
+        return improved
