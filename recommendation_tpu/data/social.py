@@ -84,7 +84,7 @@ class Relation:
 # -- motif algebra ------------------------------------------------------------
 
 
-def _row_normalize(mat: sp.spmatrix) -> sp.csr_matrix:
+def row_normalize(mat: sp.spmatrix) -> sp.csr_matrix:
     mat = sp.csr_matrix(mat, dtype=np.float32)
     rowsum = np.asarray(mat.sum(axis=1)).flatten()
     inv = np.divide(1.0, rowsum, out=np.zeros_like(rowsum), where=rowsum > 0)
@@ -129,11 +129,11 @@ def mhcn_hypergraph_channels(
     (`univariate/mhcn.py:361-368`): H_s = ΣA1..A7, H_j = A8+A9,
     H_p = A10 thresholded at > purchase_threshold common purchases."""
     A = triangular_motif_matrices(S, Y)
-    H_s = _row_normalize(sum(A[:7]))
-    H_j = _row_normalize(A[7] + A[8])
+    H_s = row_normalize(sum(A[:7]))
+    H_j = row_normalize(A[7] + A[8])
     H_p = A[9]
     H_p = H_p.multiply(H_p > purchase_threshold)
-    H_p = _row_normalize(H_p)
+    H_p = row_normalize(H_p)
     return [H_s, H_j, H_p]
 
 
@@ -147,7 +147,7 @@ def esrf_motif_adjacency(S: sp.spmatrix, Y: sp.spmatrix, threshold: int = 5) -> 
     A10 = sp.csr_matrix(A10)
     A10 = A10.multiply(A10 > threshold)
     total = sp.csr_matrix(S, dtype=np.float32) + sum(A[:9]) + A10
-    return _row_normalize(total)
+    return row_normalize(total)
 
 
 def sept_social_views(S: sp.spmatrix, Y: sp.spmatrix) -> List[sp.csr_matrix]:

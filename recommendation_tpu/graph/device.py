@@ -149,8 +149,17 @@ class DeviceGraph:
         self.edge_valid = jnp.asarray(valid)  # f32[E_pad] 1 for real edges
 
         # Prebuilt normalized bipartite adjacency (the LightGCN propagation
-        # operator) and the user×item interaction matrix.
+        # operator), its self-loop variant D̃^-1/2(A+I)D̃^-1/2 (GCNConv-style
+        # encoders: GRACE/G-BT), and the user×item interaction matrix.
         self.norm_adj = from_scipy(data.norm_adj, backend=self.backend, pad_to=pad_to)
+        import scipy.sparse as sp
+        from recommendation_tpu.data.interaction import normalize_graph_mat
+
+        self.norm_adj_selfloops = from_scipy(
+            normalize_graph_mat(data.ui_adj + sp.eye(self.n_nodes, dtype=np.float32)),
+            backend=self.backend,
+            pad_to=pad_to,
+        )
         self.interaction = from_scipy(data.interaction_mat, backend=self.backend, pad_to=pad_to)
 
         # Per-user positives as a padded [n_users, max_deg] table for device
@@ -169,7 +178,8 @@ class DeviceGraph:
 
     _DATA_FIELDS = (
         "edge_users", "edge_items", "edge_valid",
-        "norm_adj", "interaction", "user_positives", "user_degrees",
+        "norm_adj", "norm_adj_selfloops", "interaction",
+        "user_positives", "user_degrees",
     )
     _META_FIELDS = ("n_users", "n_items", "n_nodes", "n_edges", "max_degree", "backend")
 

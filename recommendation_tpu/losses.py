@@ -168,6 +168,39 @@ def barlow_twins_loss(
     return on_diag + lambda_ * off_diag
 
 
+def grace_dual_branch_loss(z1: jnp.ndarray, z2: jnp.ndarray, tau: float) -> jnp.ndarray:
+    """GRACE dual-branch InfoNCE with intraview negatives
+    (`univariate/grace.py:213-224` + DualBranchContrast sampling 469-502):
+    for anchor i in view1, positive = z2_i; negatives = all z2_j plus all
+    intraview z1_{j≠i}. Symmetrized over the two views."""
+
+    def one_side(a, b):
+        a, b = _l2_normalize(a), _l2_normalize(b)
+        inter = a @ b.T / tau  # [N, N]; diag = positives
+        intra = a @ a.T / tau
+        n = a.shape[0]
+        intra = jnp.where(jnp.eye(n, dtype=bool), -jnp.inf, intra)
+        denom = jax.nn.logsumexp(jnp.concatenate([inter, intra], axis=1), axis=1)
+        return -jnp.mean(jnp.diagonal(inter) - denom)
+
+    return (one_side(z1, z2) + one_side(z2, z1)) / 2.0
+
+
+def bootstrap_g2l_loss(h1_pred, h2_pred, g1_target, g2_target) -> jnp.ndarray:
+    """BGRL G2L BootstrapLatent (`univariate/bgrl_g2l.py:277-308,436-446`):
+    node-level online predictions vs the CROSS-view graph-level target
+    readout, 2−2·cos, symmetrized."""
+    g1 = jax.lax.stop_gradient(g1_target)
+    g2 = jax.lax.stop_gradient(g2_target)
+
+    def side(h, g):
+        h = _l2_normalize(h)
+        g = g / jnp.maximum(jnp.linalg.norm(g), 1e-12)
+        return jnp.mean(2.0 - 2.0 * h @ g)
+
+    return (side(h1_pred, g2) + side(h2_pred, g1)) / 2.0
+
+
 # -- hierarchical mutual information (MHCN) -----------------------------------
 
 

@@ -68,6 +68,11 @@ class Model:
 
     # -- training -------------------------------------------------------------
 
+    def make_optimizer(self, config):
+        """Optional model-specific optimizer (e.g. ESRF's split G/D learning
+        rates, G-BT's cosine schedule). None -> trainer default."""
+        return None
+
     def loss(
         self,
         params: Any,

@@ -78,7 +78,7 @@ class GraphRecommender:
     def build(self):
         rng = jax.random.PRNGKey(int(self.config.get("seed", 0)))
         self.params, self.state = self.model.init(rng, self.graph)
-        self.optimizer = make_optimizer(self.config)
+        self.optimizer = self.model.make_optimizer(self.config) or make_optimizer(self.config)
         self.opt_state = self.optimizer.init(self.params)
         self._epoch_fn = make_epoch_fn(self.model, self.optimizer, self.batch_size)
         self._rng = jax.random.PRNGKey(int(self.config.get("seed", 0)) + 1)

@@ -50,5 +50,19 @@ def tiny_graph_segment(tiny_data) -> DeviceGraph:
 
 
 @pytest.fixture(scope="session")
+def tiny_social(tiny_data):
+    from recommendation_tpu.data.social import synthesize_social
+
+    return synthesize_social(tiny_data, threshold=0.35, top_k=5)
+
+
+@pytest.fixture(scope="session")
+def tiny_social_graph(tiny_data, tiny_social):
+    from recommendation_tpu.graph.social_device import SocialDeviceGraph
+
+    return SocialDeviceGraph(tiny_data, tiny_social, backend="dense")
+
+
+@pytest.fixture(scope="session")
 def rng_np():
     return np.random.default_rng(0)

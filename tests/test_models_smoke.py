@@ -23,7 +23,15 @@ SMOKE_OVERRIDES = {
     "GAT.hidden": 8,
     "GAT.num_heads": 2,
     "NCL.num_clusters": 4,
+    "ESRF.segment": 16,
+    "GBT.hidden": 16,
+    "GBT.out_dim": 16,
+    "GRACE.hidden": 16,
+    "BGRL.hidden": 16,
+    "SEPT.warmup_fraction": 0.0,  # exercise the SSL path within 2 epochs
 }
+
+SOCIAL_MODELS = {"sept", "sept_social", "mhcn", "diffnet", "esrf"}
 
 
 def _model_names():
@@ -31,11 +39,20 @@ def _model_names():
 
 
 @pytest.mark.parametrize("name", _model_names())
-def test_model_smoke(name, tiny_data, tiny_graph):
+def test_model_smoke(name, tiny_data, tiny_graph, tiny_social_graph):
     config = default_config(**SMOKE_OVERRIDES)
     model = registry.build(name, config)
-    rec = GraphRecommender(model, tiny_data, config, graph=tiny_graph, log=Log(echo=False))
+    graph = tiny_social_graph if name in SOCIAL_MODELS else tiny_graph
+    rec = GraphRecommender(model, tiny_data, config, graph=graph, log=Log(echo=False))
     metrics = rec.execute()
     assert np.isfinite(metrics["Recall@10"])
     assert 0.0 <= metrics["Recall@10"] <= 1.0
     assert rec.best_params is not None
+
+
+def test_social_models_require_social_graph(tiny_data, tiny_graph):
+    config = default_config(**SMOKE_OVERRIDES)
+    model = registry.build("mhcn", config)
+    rec = GraphRecommender(model, tiny_data, config, graph=tiny_graph, log=Log(echo=False))
+    with pytest.raises(ValueError, match="SocialDeviceGraph"):
+        rec.build()
