@@ -97,7 +97,15 @@ def alignment_loss(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
 
 def uniformity_loss(x: jnp.ndarray, t: float = 2.0) -> jnp.ndarray:
     """log(mean exp(-t·||x̂_a - x̂_b||²) + 1e-8) over all unordered pairs
-    (`directau.py:248-251`, torch.pdist semantics: a<b, no self-pairs)."""
+    (`directau.py:248-251`, torch.pdist semantics: a<b, no self-pairs).
+
+    Above 4096 rows dispatches to the blockwise streaming version
+    (``ops.pallas_losses.uniformity_streaming``) so the N×N matrix never
+    materializes; numerically identical."""
+    if x.shape[0] >= 4096:
+        from recommendation_tpu.ops.pallas_losses import uniformity_streaming
+
+        return uniformity_streaming(x, t=t)
     x = _l2_normalize(x)
     n = x.shape[0]
     sq = jnp.sum(x * x, axis=1)

@@ -87,15 +87,17 @@ class NCL(Model):
     def _ssl_layer_loss(self, context, initial, users, items, n_users):
         """Layer-contrast InfoNCE with full-catalog denominators, SUMMED over
         the batch (`ncl.py:358-367`)."""
+        from recommendation_tpu.ops.pallas_losses import catalog_lse
+
         cu, ci = context[:n_users], context[n_users:]
         iu, ii = initial[:n_users], initial[n_users:]
         n_cu, n_iu = _l2n(cu[users]), _l2n(iu[users])
         n_ci, n_ii = _l2n(ci[items]), _l2n(ii[items])
         pos_u = jnp.sum(n_cu * n_iu, axis=1) / self.ssl_temp
-        denom_u = jax.nn.logsumexp(n_cu @ _l2n(iu).T / self.ssl_temp, axis=1)
+        denom_u = catalog_lse(n_cu, _l2n(iu), self.ssl_temp)
         loss_u = -jnp.sum(pos_u - denom_u)
         pos_i = jnp.sum(n_ci * n_ii, axis=1) / self.ssl_temp
-        denom_i = jax.nn.logsumexp(n_ci @ _l2n(ii).T / self.ssl_temp, axis=1)
+        denom_i = catalog_lse(n_ci, _l2n(ii), self.ssl_temp)
         loss_i = -jnp.sum(pos_i - denom_i)
         return self.ssl_reg * (loss_u + self.alpha * loss_i)
 

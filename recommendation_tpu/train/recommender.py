@@ -82,10 +82,29 @@ class GraphRecommender:
         self.opt_state = self.optimizer.init(self.params)
         self._epoch_fn = make_epoch_fn(self.model, self.optimizer, self.batch_size)
         self._rng = jax.random.PRNGKey(int(self.config.get("seed", 0)) + 1)
+        self.start_epoch = 0
+        self._ckpt = None
+        ckpt_dir = self.config.get("checkpoint.dir")
+        if ckpt_dir:
+            from recommendation_tpu.train.checkpoint import CheckpointManager
+
+            self._ckpt = CheckpointManager(
+                ckpt_dir, keep=int(self.config.get("checkpoint.keep", 3))
+            )
+            if self.config.get("checkpoint.resume", True):
+                restored = self._ckpt.restore_latest()
+                if restored is not None:
+                    from recommendation_tpu.train.checkpoint import restore_into
+
+                    self.params = restore_into(self.params, restored["params"])
+                    self.opt_state = restore_into(self.opt_state, restored["opt_state"])
+                    self.state = restore_into(self.state, restored["state"])
+                    self.start_epoch = int(restored["epoch"]) + 1
+                    self.log.add(f"resumed from checkpoint at epoch {restored['epoch']}")
 
     def train(self):
         bad_epochs = 0
-        for epoch in range(self.max_epoch):
+        for epoch in range(self.start_epoch, self.max_epoch):
             t0 = time.perf_counter()
             self._rng, ek, tk = jax.random.split(self._rng, 3)
             self.state = self.model.epoch_begin(
@@ -103,6 +122,16 @@ class GraphRecommender:
             if (epoch + 1) % self.eval_interval == 0 or epoch == self.max_epoch - 1:
                 improved = self.fast_evaluation(epoch)
                 bad_epochs = 0 if improved else bad_epochs + 1
+                if self._ckpt is not None:
+                    self._ckpt.save(
+                        epoch,
+                        {
+                            "params": self.params,
+                            "opt_state": self.opt_state,
+                            "state": self.state,
+                            "epoch": epoch,
+                        },
+                    )
                 if self.patience is not None and bad_epochs > int(self.patience):
                     self.log.add(f"early stop at epoch {epoch} (patience {self.patience})")
                     break
