@@ -81,6 +81,9 @@ def _maybe_social(args, model_name, data, train_path):
 
 
 def main(argv=None):
+    from recommendation_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
     ap = argparse.ArgumentParser(prog="recommendation_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
 

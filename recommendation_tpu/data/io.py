@@ -38,17 +38,14 @@ def _load_data_python(path: str, with_weight: bool = True) -> List[list]:
 
 
 def load_data(path: str, with_weight: bool = True) -> List[list]:
-    """Parse ``user item [rating]`` triples; missing file -> []."""
+    """Parse ``user item [rating]`` triples; missing file -> [].
+
+    Always the Python path: for a list-of-lists result, Python list
+    construction dominates and the native parser gains nothing (measured).
+    The native win is ``Interaction.from_files``, which keeps the parse
+    output as int32/float32 ARRAYS end-to-end."""
     if not os.path.exists(path):
         return []
-    try:
-        from recommendation_tpu.native import parse_triples_native
-
-        parsed = parse_triples_native(path, with_weight)
-        if parsed is not None:
-            return parsed
-    except Exception:
-        pass
     return _load_data_python(path, with_weight)
 
 

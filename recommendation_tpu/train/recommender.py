@@ -118,7 +118,11 @@ class GraphRecommender:
             if math.isnan(loss):
                 self.log.add(f"epoch {epoch}: loss is NaN — aborting (diffnet.py:782-786 guard)")
                 break
-            self.log.add(f"epoch {epoch}: loss={loss:.5f} ({dt:.2f}s)")
+            examples = -(-self.graph.n_edges // self.batch_size) * self.batch_size
+            self.log.add(
+                f"epoch {epoch}: loss={loss:.5f} ({dt:.2f}s, "
+                f"{examples / dt:,.0f} examples/s)"
+            )
             if (epoch + 1) % self.eval_interval == 0 or epoch == self.max_epoch - 1:
                 improved = self.fast_evaluation(epoch)
                 bad_epochs = 0 if improved else bad_epochs + 1
