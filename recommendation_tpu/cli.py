@@ -98,6 +98,8 @@ def main(argv=None):
         if name == "tune":
             p.add_argument("--mode", choices=["grid", "univariate"], default="grid")
             p.add_argument("--grid", action="append", help="key=v1,v2,...")
+            p.add_argument("--preset", action="store_true",
+                           help="use the model's reference-script sweep preset")
             p.add_argument("--csv", help="also append results to CSV")
 
     sub.add_parser("models")
@@ -144,13 +146,29 @@ def main(argv=None):
 
     train, test, train_path = _load_sets(args)
     grid = _parse_grid(args.grid)
+    mode = args.mode
+    defaults = {}
+    if args.preset:
+        from recommendation_tpu.tune.presets import get_preset
+
+        preset = get_preset(args.model)
+        mode = preset["mode"]
+        defaults = dict(preset.get("defaults", {}))
+        preset_grid = dict(preset["grid"])
+        preset_grid.update(grid)  # explicit --grid overrides the preset
+        grid = preset_grid
     from recommendation_tpu.data.interaction import Interaction
 
     social = _maybe_social(args, args.model, Interaction(train, test), train_path)
-    cls = GridTuner if args.mode == "grid" else UnivariateTuner
-    tuner = cls(args.model, train, test, grid, base_config=config, social_triples=social)
+    if mode == "grid":
+        tuner = GridTuner(args.model, train, test, grid, base_config=config, social_triples=social)
+    else:
+        tuner = UnivariateTuner(
+            args.model, train, test, grid, defaults=defaults,
+            base_config=config, social_triples=social,
+        )
     tuner.run()
-    print_summary(tuner.results)
+    print_summary(tuner.results, Ns=config.get("item.ranking.topN", [10, 20, 30, 50]))
     if args.out:
         tuner.save_json(args.out)
     if getattr(args, "csv", None):

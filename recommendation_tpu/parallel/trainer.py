@@ -1,0 +1,106 @@
+"""Sharded training driver — multi-chip as a first-class API.
+
+Wraps the single-device ``train.loop`` machinery with the framework's
+sharding rules (SURVEY.md §2.5):
+
+  * batches sharded over the ``data`` axis (DP; GSPMD inserts the gradient
+    psum over ICI);
+  * embedding tables row-sharded over the ``model`` axis (rec-sys TP/EP;
+    lookups lower to gathers + collectives);
+  * everything else replicated.
+
+Usage::
+
+    mesh = make_mesh()                       # all visible devices
+    rec = ShardedGraphRecommender(model, data, config, mesh=mesh)
+    rec.execute()
+
+Numerical contract: an N-device run equals the 1-device run up to fp32
+reduction reordering (tested on the 8-device CPU mesh,
+``tests/test_parallel_trainer.py``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from recommendation_tpu.config import Config
+from recommendation_tpu.data.interaction import Interaction
+from recommendation_tpu.graph.device import DeviceGraph
+from recommendation_tpu.models.base import Model
+from recommendation_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, make_mesh
+from recommendation_tpu.train.recommender import GraphRecommender
+from recommendation_tpu.utils.logging import Log
+
+TABLE_KEYS = ("user_emb", "item_emb", "t_user_emb", "t_item_emb", "relation_emb")
+
+
+class ShardedGraphRecommender(GraphRecommender):
+    """GraphRecommender whose params/graph/batches carry mesh shardings.
+
+    The jitted epoch function is unchanged — GSPMD propagates the input
+    shardings through the scan and inserts collectives. What this class owns
+    is PLACEMENT: which arrays live where.
+    """
+
+    def __init__(
+        self,
+        model: Model,
+        data: Interaction,
+        config: Optional[Config] = None,
+        graph: Optional[DeviceGraph] = None,
+        mesh=None,
+        log: Optional[Log] = None,
+    ):
+        super().__init__(model, data, config, graph=graph, log=log)
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self._rep = NamedSharding(self.mesh, P())
+        self._tab = NamedSharding(self.mesh, P(MODEL_AXIS, None))
+        self._dp = NamedSharding(self.mesh, P(DATA_AXIS))
+
+    # -- placement ------------------------------------------------------------
+
+    def _place_tree(self, tree, table_rows_divisible: bool):
+        n_model = self.mesh.shape[MODEL_AXIS]
+
+        def place(path, x):
+            name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+            if (
+                name in TABLE_KEYS
+                and getattr(x, "ndim", 0) == 2
+                and x.shape[0] % n_model == 0
+            ):
+                return jax.device_put(x, self._tab)
+            return jax.device_put(x, self._rep)
+
+        return jax.tree_util.tree_map_with_path(place, tree)
+
+    def _place_graph(self):
+        """Replicate graph buffers; shard the COO edge arrays of the main
+        adjacency over data (edge-parallel propagation — the SP axis)."""
+        g = self.graph
+        n = self.mesh.devices.size
+        for field in g._DATA_FIELDS:
+            val = getattr(g, field)
+            setattr(
+                g,
+                field,
+                jax.tree_util.tree_map(lambda x: jax.device_put(x, self._rep), val),
+            )
+        adj = g.norm_adj
+        if adj.vals.shape[0] % n == 0 and adj.backend == "segment":
+            adj.rows = jax.device_put(adj.rows, self._dp)
+            adj.cols = jax.device_put(adj.cols, self._dp)
+            adj.vals = jax.device_put(adj.vals, self._dp)
+
+    def build(self):
+        super().build()
+        self._place_graph()
+        self.params = self._place_tree(self.params, True)
+        self.state = self._place_tree(self.state, True)
+        # re-init the optimizer on the PLACED params so Adam moments inherit
+        # the table shardings instead of being replicated
+        self.opt_state = self.optimizer.init(self.params)

@@ -67,15 +67,31 @@ def make_epoch_fn(
             u, i, j, w, k = xs
             batch = PairwiseBatch(u, i, j, w)
             (loss, new_state), grads = grad_fn(params, state, batch, graph, k)
+            # per-step NaN guard: a non-finite loss skips the update instead
+            # of poisoning the tables (stronger than the reference's
+            # epoch-level abort, `univariate/diffnet.py:782-786`)
+            ok = jnp.isfinite(loss)
+            grads = jax.tree_util.tree_map(
+                lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads
+            )
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
+            new_state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(ok, new, old), new_state, state
+            )
             new_state = model.post_step(params, new_state, batch)
             return (params, opt_state, new_state), loss
 
         (params, opt_state, state), losses = jax.lax.scan(
             step, (params, opt_state, state), (users, items, negs, weights, step_keys)
         )
-        return params, opt_state, state, jnp.mean(losses)
+        finite = jnp.isfinite(losses)
+        mean_loss = jnp.sum(jnp.where(finite, losses, 0.0)) / jnp.maximum(
+            jnp.sum(finite), 1
+        )
+        # all-NaN epoch -> surface NaN so the trainer's abort guard fires
+        mean_loss = jnp.where(jnp.any(finite), mean_loss, jnp.nan)
+        return params, opt_state, state, mean_loss
 
     return jax.jit(epoch_fn)
 

@@ -1,0 +1,73 @@
+"""ShardedGraphRecommender on the 8-device CPU mesh vs single-device run."""
+
+import jax
+import numpy as np
+import pytest
+
+from recommendation_tpu.config import default_config
+from recommendation_tpu.models.lightgcn import LightGCN
+from recommendation_tpu.parallel.mesh import MeshSpec, make_mesh
+from recommendation_tpu.parallel.trainer import ShardedGraphRecommender
+from recommendation_tpu.train.recommender import GraphRecommender
+from recommendation_tpu.utils.logging import Log
+
+CONF = {
+    "max.epoch": 3,
+    "batch.size": 512,
+    "embedding.size": 16,
+    "item.ranking.topN": [10],
+    "eval.interval": 3,
+}
+
+
+@pytest.mark.parametrize("mesh_spec", [MeshSpec(data=8, model=1), MeshSpec(data=4, model=2)])
+def test_sharded_matches_single_device(tiny_data, tiny_graph_segment, mesh_spec):
+    config = default_config(**CONF)
+
+    single = GraphRecommender(
+        LightGCN(config), tiny_data, config, graph=tiny_graph_segment, log=Log(echo=False)
+    )
+    single.build()
+    single.train()
+    ue_s, ie_s = single.model.eval_embeddings(single.params, single.state, single.graph)
+
+    mesh = make_mesh(mesh_spec)
+    # fresh graph: the sharded trainer mutates placements
+    from recommendation_tpu.graph.device import DeviceGraph
+
+    graph = DeviceGraph(tiny_data, backend="segment")
+    sharded = ShardedGraphRecommender(
+        LightGCN(config), tiny_data, config, graph=graph, mesh=mesh, log=Log(echo=False)
+    )
+    sharded.build()
+    # tables divisible? 60 users/100 items not divisible by 2 -> replicated;
+    # the point is the run works under the mesh and matches numerically.
+    sharded.train()
+    ue_m, ie_m = sharded.model.eval_embeddings(sharded.params, sharded.state, sharded.graph)
+
+    assert np.allclose(np.asarray(ue_s), np.asarray(ue_m), atol=5e-3)
+    assert np.allclose(np.asarray(ie_s), np.asarray(ie_m), atol=5e-3)
+
+
+def test_sharded_table_placement(tiny_data):
+    """With table rows divisible by the model axis, tables get row-sharded."""
+    from recommendation_tpu.graph.device import DeviceGraph
+    from recommendation_tpu.parallel.mesh import MODEL_AXIS
+    from jax.sharding import PartitionSpec as P
+
+    config = default_config(**{**CONF, "embedding.size": 16})
+    mesh = make_mesh(MeshSpec(data=4, model=2))
+    graph = DeviceGraph(tiny_data, backend="segment")
+    rec = ShardedGraphRecommender(
+        LightGCN(config), tiny_data, config, graph=graph, mesh=mesh, log=Log(echo=False)
+    )
+    rec.build()
+    # 60 users / 100 items are both divisible by model=2
+    assert rec.params["user_emb"].sharding.spec == P(MODEL_AXIS, None)
+    assert rec.params["item_emb"].sharding.spec == P(MODEL_AXIS, None)
+    # Adam moments inherit the table sharding
+    mu = rec.opt_state[0].mu["user_emb"]
+    assert mu.sharding.spec == P(MODEL_AXIS, None)
+    rec.train()
+    metrics = rec.test().metrics
+    assert np.isfinite(metrics["Recall@10"])
