@@ -38,7 +38,7 @@ def build_dataset():
     return Interaction(train, test)
 
 
-def bench_tpu(data, epochs: int) -> float:
+def bench_tpu(data, epochs: int, compute_dtype: str = "float32", batch: int = BATCH) -> float:
     import jax
 
     from recommendation_tpu.config import default_config
@@ -46,18 +46,24 @@ def bench_tpu(data, epochs: int) -> float:
     from recommendation_tpu.models.lightgcn import LightGCN
     from recommendation_tpu.train.loop import make_epoch_fn, make_optimizer
 
+    global BATCH
+    BATCH = batch
     config = default_config(**{
         "embedding.size": EMB,
         "batch.size": BATCH,
         "LightGCN.n_layers": LAYERS,
         "learning.rate": 1e-3,
     })
-    graph = DeviceGraph(data, backend="auto")
+    graph = DeviceGraph(data, backend="auto", compute_dtype=compute_dtype)
     model = LightGCN(config)
     params, state = model.init(jax.random.PRNGKey(0), graph)
     optimizer = make_optimizer(config)
     opt_state = optimizer.init(params)
-    epoch_fn = make_epoch_fn(model, optimizer, BATCH)
+    # chunk very long epochs so one device execution stays under runtime
+    # watchdog limits (observed worker kills on ~245-step scans at 4M edges)
+    n_batches_total = -(-graph.n_edges // BATCH)
+    steps_per_call = 32 if n_batches_total > 64 else None
+    epoch_fn = make_epoch_fn(model, optimizer, BATCH, steps_per_call=steps_per_call)
     rng = jax.random.PRNGKey(1)
 
     # warmup/compile (float() forces a host transfer — a full sync even
@@ -144,15 +150,36 @@ def bench_reference_torch_cpu(data, max_batches: int = 30) -> float:
     return max_batches * BATCH / dt
 
 
+def bench_large(epochs: int = 2, compute_dtype: str = "float32") -> float:
+    """Gowalla-class scale (50k users × 100k items × 1M interactions) —
+    exercises the segment (gather + scatter-add) propagation path that
+    production graphs need, with epoch chunking under the runtime watchdog.
+    Prints its own line to stderr."""
+    from recommendation_tpu.data.synthetic import ArrayInteraction, make_flat_interactions
+
+    pairs = make_flat_interactions(50_000, 100_000, 1_000_000, seed=3)
+    data = ArrayInteraction(pairs, 50_000, 100_000)
+    ex_s = bench_tpu(data, epochs, compute_dtype=compute_dtype, batch=8192)
+    print(
+        f"# large-scale (50k x 100k, 1M edges, segment backend): "
+        f"{ex_s:,.0f} examples/s",
+        file=sys.stderr,
+    )
+    return ex_s
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--skip-baseline", action="store_true")
+    ap.add_argument("--large", action="store_true", help="also run Gowalla-class segment-path bench")
+    ap.add_argument("--bf16", action="store_true", help="bfloat16 MXU propagation")
     args = ap.parse_args()
 
     data = build_dataset()
     epochs = 3 if args.quick else 10
-    ours = bench_tpu(data, epochs)
+    dtype = "bfloat16" if args.bf16 else "float32"
+    ours = bench_tpu(data, epochs, compute_dtype=dtype)
     if args.skip_baseline:
         ref = None
         vs = None
@@ -179,6 +206,10 @@ def main():
             f"# ours={ours:,.0f} ex/s  reference-stack(torch-cpu)={ref:,.0f} ex/s",
             file=sys.stderr,
         )
+    # optional extras AFTER the primary JSON line so a failure here can't
+    # lose the driver's metric
+    if args.large:
+        bench_large(epochs=2, compute_dtype=dtype)
 
 
 if __name__ == "__main__":

@@ -65,6 +65,63 @@ def make_synthetic_dataset(
     return train, test
 
 
+def make_flat_interactions(
+    n_users: int, n_items: int, n_interactions: int, seed: int = 0
+) -> "np.ndarray":
+    """Vectorized large-scale edge generator (no per-user loop): zipf item
+    popularity × lognormal user activity, deduplicated. Returns int64[E, 2]
+    (user, item). For throughput benchmarks at Yelp/Gowalla scale where the
+    latent structure of :func:`make_synthetic_dataset` doesn't matter."""
+    rng = np.random.default_rng(seed)
+    user_w = rng.lognormal(0.0, 1.0, size=n_users)
+    user_p = user_w / user_w.sum()
+    item_w = 1.0 / np.arange(1, n_items + 1) ** 0.8
+    item_p = item_w / item_w.sum()
+    # oversample then dedupe to hit the target count
+    target = int(n_interactions * 1.3)
+    users = rng.choice(n_users, size=target, p=user_p)
+    items = rng.choice(n_items, size=target, p=item_p)
+    pairs = np.unique(np.stack([users, items], axis=1), axis=0)
+    rng.shuffle(pairs)
+    return pairs[:n_interactions]
+
+
+class ArrayInteraction:
+    """Minimal Interaction-compatible view over integer edge arrays — skips
+    all Python dict construction for benchmark-scale datasets. Provides the
+    fields DeviceGraph needs plus test accessors used by evaluation."""
+
+    def __init__(self, pairs: "np.ndarray", n_users: int, n_items: int, test_fraction: float = 0.0):
+        n_test = int(len(pairs) * test_fraction)
+        test_pairs = pairs[:n_test]
+        train_pairs = pairs[n_test:]
+        self.user_num = n_users
+        self.item_num = n_items
+        self.edge_users = train_pairs[:, 0].astype(np.int32)
+        self.edge_items = train_pairs[:, 1].astype(np.int32)
+        self.edge_weights = np.ones(len(train_pairs), dtype=np.float32)
+        self.training_data = train_pairs  # array view; len() works
+        import scipy.sparse as sp
+
+        from recommendation_tpu.data.interaction import normalize_graph_mat
+
+        self.interaction_mat = sp.csr_matrix(
+            (self.edge_weights, (self.edge_users, self.edge_items)),
+            shape=(n_users, n_items),
+        )
+        rows = np.concatenate([self.edge_users, self.edge_items + n_users])
+        cols = np.concatenate([self.edge_items + n_users, self.edge_users])
+        n = n_users + n_items
+        self.ui_adj = sp.csr_matrix(
+            (np.ones(len(rows), np.float32), (rows, cols)), shape=(n, n)
+        )
+        self.norm_adj = normalize_graph_mat(self.ui_adj)
+        self.test_pairs = test_pairs
+
+    def training_size(self):
+        return self.user_num, self.item_num, len(self.edge_users)
+
+
 def write_dataset(path: str, train: List[list], test: List[list]) -> None:
     """Write reference-format ``train.txt``/``test.txt`` triples."""
     os.makedirs(path, exist_ok=True)

@@ -55,10 +55,24 @@ def evaluate_ranking(
     extract top-max(N), compute all metrics."""
     test_uids = data.test_user_ids()
     max_n = max(Ns)
+    if getattr(graph, "has_pos_table", True):
+        test_positives = graph.user_positives[test_uids]
+    else:
+        # large-graph path: the full padded table was skipped at build
+        # (POS_TABLE_MAX_ELEMENTS); build one just for the evaluated users
+        # from the host CSR.
+        mat = data.interaction_mat
+        degs = np.diff(mat.indptr)[test_uids]
+        width = max(1, int(degs.max()) if len(degs) else 1)
+        pos = np.full((len(test_uids), width), -1, dtype=np.int32)
+        for row, u in enumerate(test_uids):
+            items = mat.indices[mat.indptr[u]:mat.indptr[u + 1]]
+            pos[row, : len(items)] = items
+        test_positives = pos
     scores, ids = topk_with_exclusions(
         user_emb[test_uids],
         item_emb,
-        graph.user_positives[test_uids],
+        test_positives,
         k=max_n,
         batch_size=batch_size,
     )

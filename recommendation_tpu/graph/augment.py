@@ -42,6 +42,7 @@ def drop_edges(rng: jax.Array, adj: DeviceAdj, drop_rate: float, renormalize: bo
     return DeviceAdj(
         rows=adj.rows, cols=adj.cols, vals=vals, dense=dense,
         n_rows=adj.n_rows, n_cols=adj.n_cols, backend=adj.backend,
+        compute_dtype=adj.compute_dtype, rows_sorted=adj.rows_sorted,
     )
 
 

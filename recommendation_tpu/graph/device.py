@@ -36,7 +36,7 @@ def _round_up(x: int, m: int) -> int:
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["rows", "cols", "vals", "dense"],
-    meta_fields=["n_rows", "n_cols", "backend"],
+    meta_fields=["n_rows", "n_cols", "backend", "compute_dtype", "rows_sorted"],
 )
 @dataclasses.dataclass
 class DeviceAdj:
@@ -45,6 +45,9 @@ class DeviceAdj:
     rows/cols/vals are padded to a static length; padding entries carry
     ``val == 0`` and point at row/col 0, so they contribute nothing.
     ``dense`` is the materialized matrix when the dense backend is active.
+    ``compute_dtype`` 'bfloat16' runs the dense propagation matmul in the
+    MXU's native bf16 (f32 accumulate) — ~2× memory bandwidth; values stay
+    stored f32.
     """
 
     rows: jnp.ndarray  # i32[E_pad], sorted ascending
@@ -54,6 +57,8 @@ class DeviceAdj:
     n_rows: int
     n_cols: int
     backend: str  # 'dense' | 'segment' | 'pallas'
+    compute_dtype: str = "float32"
+    rows_sorted: bool = False  # True -> segment_sum may use the sorted path
 
     @property
     def shape(self):
@@ -69,12 +74,17 @@ class DeviceAdj:
             n_rows=self.n_cols,
             n_cols=self.n_rows,
             backend=self.backend,
+            compute_dtype=self.compute_dtype,
+            rows_sorted=False,
         )
 
 
 # Graphs whose dense adjacency is at most this many f32 elements use the MXU
 # dense path (128M elems = 512 MB; a v5e chip has 16 GB HBM).
 DENSE_MAX_ELEMENTS = 128 * 1024 * 1024
+
+# Padded per-user positives table cap (i32 elements): 64M = 256 MB.
+POS_TABLE_MAX_ELEMENTS = 64 * 1024 * 1024
 
 
 def choose_backend(n_rows: int, n_cols: int, requested: str = "auto") -> str:
@@ -83,7 +93,9 @@ def choose_backend(n_rows: int, n_cols: int, requested: str = "auto") -> str:
     return "dense" if n_rows * n_cols <= DENSE_MAX_ELEMENTS else "segment"
 
 
-def from_scipy(mat: sp.spmatrix, backend: str = "auto", pad_to: int = 8) -> DeviceAdj:
+def from_scipy(
+    mat: sp.spmatrix, backend: str = "auto", pad_to: int = 8, compute_dtype: str = "float32"
+) -> DeviceAdj:
     """Upload a scipy sparse matrix as a DeviceAdj (one-shot host→device)."""
     coo = sp.coo_matrix(mat, dtype=np.float32)
     order = np.argsort(coo.row, kind="stable")
@@ -109,6 +121,8 @@ def from_scipy(mat: sp.spmatrix, backend: str = "auto", pad_to: int = 8) -> Devi
         n_rows=n_rows,
         n_cols=n_cols,
         backend=backend,
+        compute_dtype=compute_dtype,
+        rows_sorted=True,
     )
 
 
@@ -131,11 +145,12 @@ class DeviceGraph:
     no shape change (replaces `univariate/sept.py:53-61`'s scipy resampling).
     """
 
-    def __init__(self, data, backend: str = "auto", pad_to: int = 8):
+    def __init__(self, data, backend: str = "auto", pad_to: int = 8, compute_dtype: str = "float32"):
         self.n_users = data.user_num
         self.n_items = data.item_num
         self.n_nodes = self.n_users + self.n_items
         self.backend = choose_backend(self.n_nodes, self.n_nodes, backend)
+        self.compute_dtype = compute_dtype
 
         e = len(data.edge_users)
         e_pad = max(pad_to, _round_up(e, pad_to))
@@ -151,7 +166,7 @@ class DeviceGraph:
         # Prebuilt normalized bipartite adjacency (the LightGCN propagation
         # operator), its self-loop variant D̃^-1/2(A+I)D̃^-1/2 (GCNConv-style
         # encoders: GRACE/G-BT), and the user×item interaction matrix.
-        self.norm_adj = from_scipy(data.norm_adj, backend=self.backend, pad_to=pad_to)
+        self.norm_adj = from_scipy(data.norm_adj, backend=self.backend, pad_to=pad_to, compute_dtype=compute_dtype)
         import scipy.sparse as sp
         from recommendation_tpu.data.interaction import normalize_graph_mat
 
@@ -159,19 +174,41 @@ class DeviceGraph:
             normalize_graph_mat(data.ui_adj + sp.eye(self.n_nodes, dtype=np.float32)),
             backend=self.backend,
             pad_to=pad_to,
+            compute_dtype=compute_dtype,
         )
-        self.interaction = from_scipy(data.interaction_mat, backend=self.backend, pad_to=pad_to)
+        self.interaction = from_scipy(data.interaction_mat, backend=self.backend, pad_to=pad_to, compute_dtype=compute_dtype)
 
-        # Per-user positives as a padded [n_users, max_deg] table for device
-        # negative-sampling rejection and eval masking.
+        # CSR membership arrays for O(log max_degree) positive tests during
+        # negative sampling: per-user sorted item lists + row pointers.
+        # (An int64 u*n_items+i encoding would silently truncate to int32
+        # under jax's default x64-off config and overflow past 2^31 cells.)
+        mat0 = data.interaction_mat
+        self.csr_indptr = jnp.asarray(mat0.indptr.astype(np.int32))
+        csr_items = np.ascontiguousarray(mat0.indices.astype(np.int32))
+        # sort items within each row (scipy CSR usually sorted; enforce)
+        mat_sorted = mat0.copy()
+        mat_sorted.sort_indices()
+        self.csr_items = jnp.asarray(mat_sorted.indices.astype(np.int32))
+        del csr_items
+
+        # Per-user positives as a padded [n_users, max_deg] table (eval
+        # masking + tests). Skipped above POS_TABLE_MAX_ELEMENTS — power-law
+        # degree distributions make it O(n_users · max_degree); evaluation
+        # then builds per-block tables from the host CSR instead.
         mat = data.interaction_mat
         degs = np.diff(mat.indptr)
         self.max_degree = int(degs.max()) if len(degs) else 0
-        pos = np.full((self.n_users, max(1, self.max_degree)), -1, dtype=np.int32)
-        for u in range(self.n_users):
-            row = mat.indices[mat.indptr[u]:mat.indptr[u + 1]]
-            pos[u, : len(row)] = row
-        self.user_positives = jnp.asarray(pos)  # i32[n_users, max_deg], -1 pad
+        self.has_pos_table = (
+            self.n_users * max(1, self.max_degree) <= POS_TABLE_MAX_ELEMENTS
+        )
+        if self.has_pos_table:
+            pos = np.full((self.n_users, max(1, self.max_degree)), -1, dtype=np.int32)
+            for u in range(self.n_users):
+                row = mat.indices[mat.indptr[u]:mat.indptr[u + 1]]
+                pos[u, : len(row)] = row
+            self.user_positives = jnp.asarray(pos)  # i32[n_users, max_deg]
+        else:
+            self.user_positives = jnp.full((1, 1), -1, jnp.int32)
         self.user_degrees = jnp.asarray(degs.astype(np.int32))
 
     # -- pytree protocol (so a DeviceGraph can be a jit argument) -------------
@@ -179,9 +216,12 @@ class DeviceGraph:
     _DATA_FIELDS = (
         "edge_users", "edge_items", "edge_valid",
         "norm_adj", "norm_adj_selfloops", "interaction",
-        "user_positives", "user_degrees",
+        "user_positives", "user_degrees", "csr_indptr", "csr_items",
     )
-    _META_FIELDS = ("n_users", "n_items", "n_nodes", "n_edges", "max_degree", "backend")
+    _META_FIELDS = (
+        "n_users", "n_items", "n_nodes", "n_edges", "max_degree", "backend",
+        "compute_dtype", "has_pos_table",
+    )
 
     def tree_flatten(self):
         children = tuple(getattr(self, f) for f in self._DATA_FIELDS)
@@ -232,4 +272,5 @@ class DeviceGraph:
             n_rows=self.n_nodes,
             n_cols=self.n_nodes,
             backend=self.backend,
+            compute_dtype=self.compute_dtype,
         )

@@ -50,10 +50,11 @@ class SocialDeviceGraph(DeviceGraph):
         social_triples: Sequence[Sequence],
         backend: str = "auto",
         pad_to: int = 8,
+        compute_dtype: str = "float32",
         mhcn_purchase_threshold: int = 3,
         esrf_purchase_threshold: int = 5,
     ):
-        super().__init__(data, backend=backend, pad_to=pad_to)
+        super().__init__(data, backend=backend, pad_to=pad_to, compute_dtype=compute_dtype)
         relation = Relation(social_triples, data.user)
         self.relation = relation
 
@@ -61,7 +62,7 @@ class SocialDeviceGraph(DeviceGraph):
         Y = data.interaction_mat
 
         def up(mat):
-            return from_scipy(mat, backend=self.backend, pad_to=pad_to)
+            return from_scipy(mat, backend=self.backend, pad_to=pad_to, compute_dtype=compute_dtype)
 
         # DiffNet's S entries are 1/|followees(trustor)| (`diffnet.py:1075`)
         # == row normalization of the 0/1 trust matrix.

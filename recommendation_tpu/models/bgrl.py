@@ -95,6 +95,7 @@ class BGRL(Model):
             vals=(adj.vals > 0).astype(jnp.float32),
             dense=None if adj.dense is None else (adj.dense > 0).astype(jnp.float32),
             n_rows=adj.n_rows, n_cols=adj.n_cols, backend=adj.backend,
+            compute_dtype=adj.compute_dtype, rows_sorted=adj.rows_sorted,
         )
         a1 = drop_edges(ke1, ones, self.drop_edge)
         a2 = drop_edges(ke2, ones, self.drop_edge)
@@ -131,6 +132,7 @@ class BGRL(Model):
             vals=(adj.vals > 0).astype(jnp.float32),
             dense=None if adj.dense is None else (adj.dense > 0).astype(jnp.float32),
             n_rows=adj.n_rows, n_cols=adj.n_cols, backend=adj.backend,
+            compute_dtype=adj.compute_dtype, rows_sorted=adj.rows_sorted,
         )
         z, _ = self._gin(params["online"], params["features"], ones)
         return z[: graph.n_users], z[graph.n_users :]

@@ -61,6 +61,7 @@ class BUIR(Model):
         dropped = type(adj)(
             rows=adj.rows, cols=adj.cols, vals=vals, dense=dense,
             n_rows=adj.n_rows, n_cols=adj.n_cols, backend=adj.backend,
+            compute_dtype=adj.compute_dtype, rows_sorted=adj.rows_sorted,
         )
         return lightgcn_propagate(user_emb, item_emb, dropped, self.n_layers)
 

@@ -26,14 +26,31 @@ import jax.numpy as jnp
 from recommendation_tpu.graph.device import DeviceAdj
 
 
+@jax.checkpoint
 def _segment_matmul(adj: DeviceAdj, x: jnp.ndarray) -> jnp.ndarray:
+    # rematerialized: the [E, d] gathered intermediate (1 GB at 4M edges ×
+    # 64 dims) is recomputed in the backward pass instead of stored —
+    # per-layer residual memory drops from O(E·d) to O(1)
     gathered = x[adj.cols] * adj.vals[:, None]
-    return jax.ops.segment_sum(gathered, adj.rows, num_segments=adj.n_rows)
+    return jax.ops.segment_sum(
+        gathered,
+        adj.rows,
+        num_segments=adj.n_rows,
+        indices_are_sorted=adj.rows_sorted,
+    )
 
 
 def adj_matmul(adj: DeviceAdj, x: jnp.ndarray) -> jnp.ndarray:
     """Compute ``adj @ x`` with the adjacency's backend. x: f32[n_cols, d]."""
     if adj.backend == "dense" and adj.dense is not None:
+        if adj.compute_dtype == "bfloat16":
+            # MXU-native bf16 inputs, f32 accumulate: ~2x HBM bandwidth on
+            # the adjacency read; values stored f32 (cast fuses into the op)
+            return jnp.dot(
+                adj.dense.astype(jnp.bfloat16),
+                x.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
         return jnp.dot(adj.dense, x, preferred_element_type=jnp.float32)
     if adj.backend == "pallas":
         from recommendation_tpu.ops.pallas_spmm import pallas_spmm_or_fallback

@@ -34,10 +34,23 @@ class PairwiseBatch(NamedTuple):
 
 
 def _is_positive(graph: DeviceGraph, users: jnp.ndarray, items: jnp.ndarray) -> jnp.ndarray:
-    """bool[B]: does (u, i) appear in the train set? Lookup against the padded
-    per-user positives table (O(max_degree) compare, vectorized)."""
-    pos_rows = graph.user_positives[users]  # [B, max_deg]
-    return jnp.any(pos_rows == items[:, None], axis=1)
+    """bool[B]: does (u, i) appear in the train set? Vectorized windowed
+    binary search over the CSR item lists — O(log max_degree) gathers,
+    independent of the degree distribution (no padded table, no 64-bit
+    encoding; both break at scale)."""
+    lo = graph.csr_indptr[users]
+    hi = graph.csr_indptr[users + 1]
+    end = hi
+    n_iters = max(1, int(np.ceil(np.log2(max(2, graph.max_degree + 1)))) + 1)
+    flat = graph.csr_items
+    for _ in range(n_iters):  # vectorized lower_bound
+        active = lo < hi
+        mid = (lo + hi) // 2
+        v = flat[jnp.clip(mid, 0, flat.shape[0] - 1)]
+        go_right = active & (v < items)
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(active & ~go_right, mid, hi)
+    return (lo < end) & (flat[jnp.clip(lo, 0, flat.shape[0] - 1)] == items)
 
 
 def sample_negatives(

@@ -40,11 +40,18 @@ def make_epoch_fn(
     optimizer: optax.GradientTransformation,
     batch_size: int,
     n_negs_redraws: int = 4,
+    steps_per_call: int | None = None,
 ) -> Callable:
     """Build a jitted function running one full epoch on device.
 
     Signature: epoch_fn(graph, params, opt_state, state, rng)
             -> (params, opt_state, state, mean_loss)
+
+    ``steps_per_call`` bounds the scan length of a single device execution,
+    splitting the epoch into several device calls (at most two compiled
+    shapes: the full chunk and the remainder). Use for very large graphs
+    where one multi-minute execution would trip runtime watchdogs; the
+    extra dispatch round trips are negligible against chunk compute.
     """
 
     def loss_wrapper(params, state, batch, graph, rng):
@@ -93,7 +100,72 @@ def make_epoch_fn(
         mean_loss = jnp.where(jnp.any(finite), mean_loss, jnp.nan)
         return params, opt_state, state, mean_loss
 
-    return jax.jit(epoch_fn)
+    if steps_per_call is None:
+        return jax.jit(epoch_fn)
+
+    # -- chunked variant ------------------------------------------------------
+
+    def sample_all(graph, rng):
+        shuffle_key, neg_key, step_key = jax.random.split(rng, 3)
+        users, items, weights, n_batches = shuffled_epoch(shuffle_key, graph, batch_size)
+        neg_keys = jax.random.split(neg_key, n_batches)
+        negs = jax.vmap(lambda k, u: sample_negatives(k, graph, u, n_negs_redraws))(
+            neg_keys, users
+        )
+        step_keys = jax.random.split(step_key, n_batches)
+        return users, items, negs, weights, step_keys
+
+    sample_all_jit = jax.jit(sample_all)
+
+    def slice_fn(graph, params, opt_state, state, xs):
+        def step(carry, x):
+            params, opt_state, state = carry
+            u, i, j, w, k = x
+            batch = PairwiseBatch(u, i, j, w)
+            (loss, new_state), grads = grad_fn(params, state, batch, graph, k)
+            ok = jnp.isfinite(loss)
+            grads = jax.tree_util.tree_map(
+                lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads
+            )
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            new_state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(ok, new, old), new_state, state
+            )
+            new_state = model.post_step(params, new_state, batch)
+            return (params, opt_state, new_state), loss
+
+        (params, opt_state, state), losses = jax.lax.scan(
+            step, (params, opt_state, state), xs
+        )
+        return params, opt_state, state, losses
+
+    slice_jit = jax.jit(slice_fn)
+
+    def chunked_epoch(graph, params, opt_state, state, rng):
+        users, items, negs, weights, step_keys = sample_all_jit(graph, rng)
+        n_batches = users.shape[0]
+        all_losses = []
+        start = 0
+        while start < n_batches:
+            size = min(steps_per_call, n_batches - start)
+            xs = tuple(
+                a[start:start + size] for a in (users, items, negs, weights, step_keys)
+            )
+            params, opt_state, state, losses = slice_jit(
+                graph, params, opt_state, state, xs
+            )
+            all_losses.append(losses)
+            start += size
+        losses = jnp.concatenate(all_losses)
+        finite = jnp.isfinite(losses)
+        mean_loss = jnp.sum(jnp.where(finite, losses, 0.0)) / jnp.maximum(
+            jnp.sum(finite), 1
+        )
+        mean_loss = jnp.where(jnp.any(finite), mean_loss, jnp.nan)
+        return params, opt_state, state, mean_loss
+
+    return chunked_epoch
 
 
 def tree_copy(tree: Any) -> Any:

@@ -46,7 +46,9 @@ class GraphRecommender:
         self.data = data
         self.config = config if config is not None else default_config()
         self.graph = graph if graph is not None else DeviceGraph(
-            data, backend=self.config.get("graph.backend", "auto")
+            data,
+            backend=self.config.get("graph.backend", "auto"),
+            compute_dtype=self.config.get("graph.compute_dtype", "float32"),
         )
         self.log = log or Log(name=model.name)
         self.topN = list(self.config.get("item.ranking.topN", [10, 20, 30, 50]))

@@ -48,6 +48,31 @@ def test_shuffled_epoch_covers_all_edges(tiny_graph):
     assert real <= flat
 
 
+def test_is_positive_matches_oracle(tiny_data, tiny_graph):
+    from recommendation_tpu.sampling import _is_positive
+
+    rng = np.random.default_rng(5)
+    b = 500
+    users = rng.integers(0, tiny_graph.n_users, size=b).astype(np.int32)
+    items = rng.integers(0, tiny_graph.n_items, size=b).astype(np.int32)
+    got = np.asarray(_is_positive(tiny_graph, jnp.asarray(users), jnp.asarray(items)))
+    mat = tiny_data.interaction_mat
+    want = np.array([mat[int(u), int(i)] != 0 for u, i in zip(users, items)])
+    assert np.array_equal(got, want)
+    # explicit boundary cases: first/last item of a user's row, empty result
+    u0 = int(users[0])
+    row = mat.indices[mat.indptr[u0]:mat.indptr[u0 + 1]]
+    if len(row):
+        for probe in (row.min(), row.max()):
+            assert bool(
+                _is_positive(
+                    tiny_graph,
+                    jnp.asarray([u0], jnp.int32),
+                    jnp.asarray([probe], jnp.int32),
+                )[0]
+            )
+
+
 def test_pairwise_batches_shapes(tiny_graph):
     batches = list(pairwise_batches(jax.random.PRNGKey(2), tiny_graph, 128))
     assert all(b.users.shape == (128,) for b in batches)
