@@ -100,6 +100,8 @@ def main(argv=None):
             p.add_argument("--grid", action="append", help="key=v1,v2,...")
             p.add_argument("--preset", action="store_true",
                            help="use the model's reference-script sweep preset")
+            p.add_argument("--resume", action="store_true",
+                           help="skip configurations already recorded in --out")
             p.add_argument("--csv", help="also append results to CSV")
 
     sub.add_parser("models")
@@ -167,7 +169,7 @@ def main(argv=None):
             args.model, train, test, grid, defaults=defaults,
             base_config=config, social_triples=social,
         )
-    tuner.run()
+    tuner.run(resume_path=args.out if args.resume else None)
     print_summary(tuner.results, Ns=config.get("item.ranking.topN", [10, 20, 30, 50]))
     if args.out:
         tuner.save_json(args.out)

@@ -166,3 +166,28 @@ class OptionConf:
 
     def keys(self):
         return self.options.keys()
+
+
+def apply_legacy_options(conf: Config) -> Config:
+    """Translate the legacy string-flag config keys into canonical ones.
+
+    Handles the two OptionConf-encoded keys the legacy stack uses
+    (`univariate/diffnet.py:505-542`, usage 1220):
+      * ``item.ranking``: ``'on -topN 10,20'`` → ``item.ranking.topN``
+      * ``evaluation.setup``: ``'cv -k 1 -p on -rand-seed 1'`` →
+        ``eval.cv_k`` / ``eval.rand_seed`` (k=1 == the single hold-out split
+        every reference run actually uses)
+    No-ops when the keys are absent or already canonical."""
+    ranking = conf.get("item.ranking")
+    if isinstance(ranking, str):
+        opt = OptionConf(ranking)
+        if opt.is_main_on() and "-topN" in opt:
+            conf["item.ranking.topN"] = [int(x) for x in opt["-topN"].split(",")]
+    setup = conf.get("evaluation.setup")
+    if isinstance(setup, str):
+        opt = OptionConf(setup)
+        if "-k" in opt:
+            conf["eval.cv_k"] = int(opt["-k"])
+        if "-rand-seed" in opt:
+            conf["eval.rand_seed"] = int(opt["-rand-seed"])
+    return conf

@@ -23,8 +23,11 @@ from recommendation_tpu.sampling import PairwiseBatch, sample_negatives, shuffle
 def make_optimizer(config) -> optax.GradientTransformation:
     """optax mirror of the reference's configurable torch optimizers
     (`lightgcn.py:80` ``getattr(torch.optim, ...)``, `selfcf.py:541-546`
-    adam/sgd switch)."""
-    lr = float(config.get("learning.rate", 1e-3))
+    adam/sgd switch). ``learning.rate`` may be a float or an optax
+    schedule (injectable by :class:`BoldDriver`)."""
+    lr = config.get("learning.rate", 1e-3)
+    if not callable(lr):
+        lr = float(lr)
     name = str(config.get("optimizer", "adam")).lower()
     if name == "adam":
         return optax.adam(lr)
@@ -33,6 +36,43 @@ def make_optimizer(config) -> optax.GradientTransformation:
     if name == "sgd":
         return optax.sgd(lr, momentum=float(config.get("momentum", 0.9)))
     raise ValueError(f"unknown optimizer {name!r}")
+
+
+class BoldDriver:
+    """The legacy stack's adaptive learning rate
+    (`univariate/diffnet.py:756-763`): ×1.05 when |loss| improved over the
+    previous epoch, ×0.5 otherwise, capped at ``max_lrate``. Host-side —
+    drives an ``optax.inject_hyperparams`` learning_rate between epochs."""
+
+    def __init__(self, lrate: float, max_lrate: float = 0.0):
+        self.lrate = lrate
+        self.max_lrate = max_lrate
+        self.last_loss: float | None = None
+
+    def update(self, epoch: int, loss: float) -> float:
+        if epoch > 1 and self.last_loss is not None:
+            if abs(self.last_loss) > abs(loss):
+                self.lrate *= 1.05
+            else:
+                self.lrate *= 0.5
+        if self.max_lrate > 0 and self.lrate > self.max_lrate:
+            self.lrate = self.max_lrate
+        self.last_loss = loss
+        return self.lrate
+
+
+def make_bold_driver_optimizer(config):
+    """Adam/SGD wrapped in inject_hyperparams so the per-epoch BoldDriver
+    rate lands in opt_state.hyperparams['learning_rate']."""
+    name = str(config.get("optimizer", "adam")).lower()
+    lr = float(config.get("learning.rate", 1e-3))
+    if name == "sgd":
+        opt = optax.inject_hyperparams(optax.sgd)(
+            learning_rate=lr, momentum=float(config.get("momentum", 0.9))
+        )
+    else:
+        opt = optax.inject_hyperparams(optax.adam)(learning_rate=lr)
+    return opt, BoldDriver(lr, float(config.get("max.learning.rate", 0.0)))
 
 
 def make_epoch_fn(

@@ -22,6 +22,7 @@ import time
 from typing import Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from recommendation_tpu.config import Config, default_config
@@ -42,9 +43,13 @@ class GraphRecommender:
         graph: Optional[DeviceGraph] = None,
         log: Optional[Log] = None,
     ):
+        from recommendation_tpu.config import apply_legacy_options
+
         self.model = model
         self.data = data
-        self.config = config if config is not None else default_config()
+        self.config = apply_legacy_options(
+            config if config is not None else default_config()
+        )
         self.graph = graph if graph is not None else DeviceGraph(
             data,
             backend=self.config.get("graph.backend", "auto"),
@@ -80,7 +85,14 @@ class GraphRecommender:
     def build(self):
         rng = jax.random.PRNGKey(int(self.config.get("seed", 0)))
         self.params, self.state = self.model.init(rng, self.graph)
-        self.optimizer = self.model.make_optimizer(self.config) or make_optimizer(self.config)
+        self._bold = None
+        if self.config.get("adaptive.lr", False):
+            # legacy bold-driver schedule (`univariate/diffnet.py:756-763`)
+            from recommendation_tpu.train.loop import make_bold_driver_optimizer
+
+            self.optimizer, self._bold = make_bold_driver_optimizer(self.config)
+        else:
+            self.optimizer = self.model.make_optimizer(self.config) or make_optimizer(self.config)
         self.opt_state = self.optimizer.init(self.params)
         self._epoch_fn = make_epoch_fn(self.model, self.optimizer, self.batch_size)
         self._rng = jax.random.PRNGKey(int(self.config.get("seed", 0)) + 1)
@@ -106,6 +118,8 @@ class GraphRecommender:
 
     def train(self):
         bad_epochs = 0
+        last_loss = None
+        conv_eps = self.config.get("convergence.eps", None)
         for epoch in range(self.start_epoch, self.max_epoch):
             t0 = time.perf_counter()
             self._rng, ek, tk = jax.random.split(self._rng, 3)
@@ -125,6 +139,22 @@ class GraphRecommender:
                 f"epoch {epoch}: loss={loss:.5f} ({dt:.2f}s, "
                 f"{examples / dt:,.0f} examples/s)"
             )
+            # convergence check (`univariate/diffnet.py:782-802` semantics:
+            # |delta loss| < eps stops; otherwise adapt the learning rate)
+            if last_loss is not None and conv_eps is not None:
+                if abs(last_loss - loss) < float(conv_eps):
+                    self.log.add(
+                        f"converged at epoch {epoch} (|Δloss| < {conv_eps})"
+                    )
+                    self.fast_evaluation(epoch)
+                    break
+            if self._bold is not None:
+                new_lr = self._bold.update(epoch, loss)
+                self.opt_state.hyperparams["learning_rate"] = jnp.asarray(
+                    new_lr, dtype=jnp.float32
+                )
+                self.log.add(f"  bold-driver lr -> {new_lr:.6f}")
+            last_loss = loss
             if (epoch + 1) % self.eval_interval == 0 or epoch == self.max_epoch - 1:
                 improved = self.fast_evaluation(epoch)
                 bad_epochs = 0 if improved else bad_epochs + 1

@@ -78,11 +78,31 @@ class _TunerBase:
     def _configs(self) -> Iterable[Dict[str, Any]]:
         raise NotImplementedError
 
-    def run(self) -> List[Dict]:
+    def run(self, resume_path: Optional[str] = None) -> List[Dict]:
+        """Run the sweep. ``resume_path`` points at a results JSON from an
+        earlier (interrupted) run: configurations already recorded there are
+        skipped — per-config resume the reference's crash-prone sweeps
+        lacked."""
+        import json
+        import os
+
+        done: set = set()
+        if resume_path and os.path.exists(resume_path):
+            with open(resume_path) as f:
+                prior = json.load(f)
+            self.results.extend(prior)
+            done = {
+                json.dumps(r.get("config", {}), sort_keys=True, default=str)
+                for r in prior
+            }
+            self.log.add(f"resuming: {len(done)} configurations already recorded")
+
         configs = list(self._configs())
         self.log.add(f"{self.model_name} tuning — total configurations: {len(configs)}")
         for i, overrides in enumerate(configs, 1):
             overrides = {k: v for k, v in overrides.items() if not k.startswith("_")}
+            if done and json.dumps(overrides, sort_keys=True, default=str) in done:
+                continue
             conf = self.base.copy().with_overrides(**overrides)
             self.log.add(f"[{i}/{len(configs)}] {overrides}")
             try:
