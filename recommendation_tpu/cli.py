@@ -106,12 +106,36 @@ def main(argv=None):
 
     sub.add_parser("models")
 
+    p = sub.add_parser("synthesize-social",
+                       help="build social.txt from train interactions (test.ipynb protocol)")
+    p.add_argument("--train", required=True)
+    p.add_argument("--out", help="default: social.txt next to train file")
+    p.add_argument("--threshold", type=float, default=0.35)
+    p.add_argument("--top-k", type=int, default=10)
+
     args = ap.parse_args(argv)
 
     if args.cmd == "models":
         from recommendation_tpu.models import registry
 
         print("\n".join(registry.available()))
+        return 0
+
+    if args.cmd == "synthesize-social":
+        from recommendation_tpu.data.interaction import Interaction
+        from recommendation_tpu.data.io import load_data
+        from recommendation_tpu.data.social import synthesize_social
+
+        if not os.path.exists(args.train):
+            print(f"error: train file not found: {args.train}", file=sys.stderr)
+            return 2
+        data = Interaction(load_data(args.train), [])
+        triples = synthesize_social(data, threshold=args.threshold, top_k=args.top_k)
+        out = args.out or os.path.join(os.path.dirname(args.train), "social.txt")
+        with open(out, "w") as f:
+            for u, v, w in triples:
+                f.write(f"{u} {v} {w}\n")
+        print(f"wrote {len(triples)} trust edges to {out}")
         return 0
 
     from recommendation_tpu.config import default_config
