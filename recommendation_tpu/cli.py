@@ -63,7 +63,7 @@ def _maybe_social(args, model_name, data, train_path):
     from recommendation_tpu.models.registry import build  # noqa: F401
 
     social_models = {"sept", "sept_social", "mhcn", "diffnet", "esrf"}
-    if model_name not in social_models:
+    if model_name.lower() not in social_models:
         return None
     if args.social and os.path.exists(args.social):
         from recommendation_tpu.data.io import load_data

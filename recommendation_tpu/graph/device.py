@@ -164,8 +164,8 @@ class DeviceGraph:
         self.edge_valid = jnp.asarray(valid)  # f32[E_pad] 1 for real edges
 
         # Prebuilt normalized bipartite adjacency (the LightGCN propagation
-        # operator), its self-loop variant D̃^-1/2(A+I)D̃^-1/2 (GCNConv-style
-        # encoders: GRACE/G-BT), and the user×item interaction matrix.
+        # operator) and its self-loop variant D̃^-1/2(A+I)D̃^-1/2 (GCNConv-
+        # style encoders: GRACE/G-BT).
         self.norm_adj = from_scipy(data.norm_adj, backend=self.backend, pad_to=pad_to, compute_dtype=compute_dtype)
         import scipy.sparse as sp
         from recommendation_tpu.data.interaction import normalize_graph_mat
@@ -176,20 +176,15 @@ class DeviceGraph:
             pad_to=pad_to,
             compute_dtype=compute_dtype,
         )
-        self.interaction = from_scipy(data.interaction_mat, backend=self.backend, pad_to=pad_to, compute_dtype=compute_dtype)
 
         # CSR membership arrays for O(log max_degree) positive tests during
         # negative sampling: per-user sorted item lists + row pointers.
         # (An int64 u*n_items+i encoding would silently truncate to int32
         # under jax's default x64-off config and overflow past 2^31 cells.)
-        mat0 = data.interaction_mat
+        mat0 = data.interaction_mat.copy()
+        mat0.sort_indices()  # items sorted within each row (binary search)
         self.csr_indptr = jnp.asarray(mat0.indptr.astype(np.int32))
-        csr_items = np.ascontiguousarray(mat0.indices.astype(np.int32))
-        # sort items within each row (scipy CSR usually sorted; enforce)
-        mat_sorted = mat0.copy()
-        mat_sorted.sort_indices()
-        self.csr_items = jnp.asarray(mat_sorted.indices.astype(np.int32))
-        del csr_items
+        self.csr_items = jnp.asarray(mat0.indices.astype(np.int32))
 
         # Per-user positives as a padded [n_users, max_deg] table (eval
         # masking + tests). Skipped above POS_TABLE_MAX_ELEMENTS — power-law
@@ -215,7 +210,7 @@ class DeviceGraph:
 
     _DATA_FIELDS = (
         "edge_users", "edge_items", "edge_valid",
-        "norm_adj", "norm_adj_selfloops", "interaction",
+        "norm_adj", "norm_adj_selfloops",
         "user_positives", "user_degrees", "csr_indptr", "csr_items",
     )
     _META_FIELDS = (

@@ -44,6 +44,9 @@ class NCL(Model):
         self.alpha = float(config.get("NCL.alpha", 1.0))
         self.num_clusters = int(config.get("NCL.num_clusters", 100))
         self.kmeans_iters = int(config.get("NCL.kmeans_iters", 10))
+        # E-step every N epochs (the reference re-clusters per BATCH,
+        # `ncl.py:324` — documented divergence)
+        self.e_step_cadence = int(config.get("NCL.e_step_cadence", 1))
 
     def _k_for(self, n: int) -> int:
         """k capped at max(2, n//39) (`ncl.py:350-351`)."""
@@ -72,7 +75,10 @@ class NCL(Model):
         )
 
     def epoch_begin(self, params, state, graph: DeviceGraph, rng, epoch: int):
-        """E-step: k-means over current mean embeddings (`ncl.py:340-356`)."""
+        """E-step: k-means over current mean embeddings (`ncl.py:340-356`),
+        every ``NCL.e_step_cadence`` epochs (always at epoch 0)."""
+        if epoch % max(1, self.e_step_cadence) != 0 and epoch > 0:
+            return state
         user_all, item_all, _ = self._forward_layers(params, graph)
         k1, k2 = jax.random.split(rng)
         uc, ua = kmeans(k1, user_all, self._k_for(graph.n_users), self.kmeans_iters)

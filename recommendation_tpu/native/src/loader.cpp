@@ -82,10 +82,13 @@ void* rt_open(const char* path, int with_weight) {
       std::string i(tok[1], tok_len[1]);
       float w = 1.0f;
       if (with_weight && n_tok >= 3) {
-        try {
-          w = std::stof(std::string(tok[2], tok_len[2]));
-        } catch (...) {
-          w = 1.0f;
+        // Python float() semantics: the WHOLE token must parse ("3abc" is
+        // invalid and falls back to 1.0, not a 3.0 prefix like stof gives).
+        std::string wtok(tok[2], tok_len[2]);
+        char* endp = nullptr;
+        float parsed = std::strtof(wtok.c_str(), &endp);
+        if (endp == wtok.c_str() + wtok.size() && !wtok.empty()) {
+          w = parsed;
         }
       }
       auto ures = umap.emplace(u, static_cast<int32_t>(ds->user_ids.size()));

@@ -39,6 +39,15 @@ def masked_topk(
     return jax.lax.top_k(masked, k)
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _score_block(u_emb, item_emb, u_pos, k):
+    scores = jnp.dot(u_emb, item_emb.T, preferred_element_type=jnp.float32)
+    return masked_topk(scores, u_pos, k)
+
+
 def topk_with_exclusions(
     user_emb: jnp.ndarray,
     item_emb: jnp.ndarray,
@@ -47,18 +56,20 @@ def topk_with_exclusions(
     batch_size: int = 1024,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Full-catalog MIPS top-k for a block of users, batched to bound the
-    [B, n_items] score buffer. Returns (scores f32[U,k], ids i32[U,k])."""
+    [B, n_items] score buffer. Returns (scores f32[U,k], ids i32[U,k]).
 
+    ``_score_block`` is a module-level jit with ``item_emb`` as an ARGUMENT —
+    a per-call closure would bake the table in as a constant and recompile
+    every evaluation."""
     n = user_emb.shape[0]
-
-    def score_block(u_emb, u_pos):
-        scores = jnp.dot(u_emb, item_emb.T, preferred_element_type=jnp.float32)
-        return masked_topk(scores, u_pos, k)
-
     outs_s, outs_i = [], []
-    block = jax.jit(score_block)
     for start in range(0, n, batch_size):
-        s, i = block(user_emb[start:start + batch_size], user_positives[start:start + batch_size])
+        s, i = _score_block(
+            user_emb[start:start + batch_size],
+            item_emb,
+            jnp.asarray(user_positives[start:start + batch_size]),
+            k,
+        )
         outs_s.append(s)
         outs_i.append(i)
     return jnp.concatenate(outs_s), jnp.concatenate(outs_i)

@@ -101,6 +101,20 @@ class ShardedGraphRecommender(GraphRecommender):
         self._place_graph()
         self.params = self._place_tree(self.params, True)
         self.state = self._place_tree(self.state, True)
-        # re-init the optimizer on the PLACED params so Adam moments inherit
-        # the table shardings instead of being replicated
-        self.opt_state = self.optimizer.init(self.params)
+        # Init the optimizer on the PLACED params so Adam moments inherit the
+        # table shardings. When super().build() restored a checkpoint, keep
+        # the restored VALUES and only re-place them into that sharded
+        # structure — re-initializing would silently reset Adam moments.
+        placed = self.optimizer.init(self.params)
+        if self.start_epoch > 0:
+            restored_leaves = jax.tree_util.tree_leaves(self.opt_state)
+            placed_leaves, treedef = jax.tree_util.tree_flatten(placed)
+            self.opt_state = jax.tree_util.tree_unflatten(
+                treedef,
+                [
+                    jax.device_put(r, p.sharding) if hasattr(p, "sharding") else r
+                    for r, p in zip(restored_leaves, placed_leaves)
+                ],
+            )
+        else:
+            self.opt_state = placed

@@ -83,7 +83,13 @@ def shuffled_epoch(
     n_batches = max(1, -(-e // batch_size))
     total = n_batches * batch_size
     perm = jax.random.permutation(rng, e)
-    idx = jnp.concatenate([perm, perm[: total - e]]) if total > e else perm
+    if total > e:
+        # tile enough copies for any batch_size > e (a single cyclic slice
+        # cannot supply more than e extra indices)
+        reps = -(-total // e)
+        idx = jnp.tile(perm, reps)[:total]
+    else:
+        idx = perm
     users = graph.edge_users[idx].reshape(n_batches, batch_size)
     items = graph.edge_items[idx].reshape(n_batches, batch_size)
     weight = jnp.ones((n_batches, batch_size), dtype=jnp.float32)

@@ -135,12 +135,23 @@ class _TunerBase:
         self.log.add(f"saved results to {path}")
 
     def save_csv(self, path: str) -> None:
+        rows = []
         for r in self.results:
             row = dict(r.get("config", {}))
             row.update(r.get("metrics", {}))
             if "error" in r:
                 row["error"] = r["error"]
-            append_csv(path, row)
+            rows.append(row)
+        # union of keys so metric rows and error rows share one header —
+        # per-row headers would misalign columns (`lightgcn.py:164-173`
+        # compat, fixed)
+        fieldnames: list[str] = []
+        for row in rows:
+            for k in row:
+                if k not in fieldnames:
+                    fieldnames.append(k)
+        for row in rows:
+            append_csv(path, row, fieldnames=fieldnames)
         self.log.add(f"appended results to {path}")
 
 
