@@ -44,7 +44,11 @@ def bench_tpu(data, epochs: int, compute_dtype: str = "float32", batch: int = BA
     from recommendation_tpu.config import default_config
     from recommendation_tpu.graph.device import DeviceGraph
     from recommendation_tpu.models.lightgcn import LightGCN
-    from recommendation_tpu.train.loop import make_epoch_fn, make_optimizer
+    from recommendation_tpu.train.loop import (
+        make_epoch_fn,
+        make_multi_epoch_fn,
+        make_optimizer,
+    )
 
     global BATCH
     BATCH = batch
@@ -60,25 +64,34 @@ def bench_tpu(data, epochs: int, compute_dtype: str = "float32", batch: int = BA
     optimizer = make_optimizer(config)
     opt_state = optimizer.init(params)
     # chunk very long epochs so one device execution stays under runtime
-    # watchdog limits (observed worker kills on ~245-step scans at 4M edges)
-    n_batches_total = -(-graph.n_edges // BATCH)
-    steps_per_call = 32 if n_batches_total > 64 else None
-    epoch_fn = make_epoch_fn(model, optimizer, BATCH, steps_per_call=steps_per_call)
-    rng = jax.random.PRNGKey(1)
-
-    # warmup/compile (float() forces a host transfer — a full sync even
-    # through the remote-tunnel backend, where block_until_ready alone can
-    # return at dispatch time)
-    p, o, s, loss = epoch_fn(graph, params, opt_state, state, rng)
-    float(loss)
-
+    # watchdog limits (observed worker kills on ~245-step scans at 4M edges);
+    # small graphs instead FUSE all measured epochs into one device program
+    # so per-epoch dispatch RTT (~70-80 ms on a remote-attached chip) stays
+    # out of the measurement
     n_batches = -(-graph.n_edges // BATCH)
-    t0 = time.perf_counter()
-    for e in range(epochs):
-        rng, k = jax.random.split(rng)
-        p, o, s, loss = epoch_fn(graph, p, o, s, k)
-    float(loss)
-    dt = time.perf_counter() - t0
+    rng = jax.random.PRNGKey(1)
+    if n_batches > 64:
+        epoch_fn = make_epoch_fn(model, optimizer, BATCH, steps_per_call=32)
+
+        # warmup/compile (float() forces a host transfer — a full sync even
+        # through the remote-tunnel backend, where block_until_ready alone
+        # can return at dispatch time)
+        p, o, s, loss = epoch_fn(graph, params, opt_state, state, rng)
+        float(loss)
+        t0 = time.perf_counter()
+        for e in range(epochs):
+            rng, k = jax.random.split(rng)
+            p, o, s, loss = epoch_fn(graph, p, o, s, k)
+        float(loss)
+        dt = time.perf_counter() - t0
+    else:
+        run = make_multi_epoch_fn(model, optimizer, BATCH, n_epochs=epochs)
+        p, o, s, loss = run(graph, params, opt_state, state, rng)
+        float(loss)  # compile + warmup
+        t0 = time.perf_counter()
+        p, o, s, loss = run(graph, p, o, s, jax.random.PRNGKey(2))
+        float(loss)
+        dt = time.perf_counter() - t0
     examples = epochs * n_batches * BATCH
     return examples / dt
 

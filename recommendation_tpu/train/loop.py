@@ -208,6 +208,72 @@ def make_epoch_fn(
     return chunked_epoch
 
 
+def make_multi_epoch_fn(
+    model: Model,
+    optimizer: optax.GradientTransformation,
+    batch_size: int,
+    n_epochs: int,
+    n_negs_redraws: int = 4,
+) -> Callable:
+    """N full epochs in ONE device execution (outer scan over epochs).
+
+    Removes the per-epoch dispatch round trip — on remote-attached devices
+    that RTT (~70-80 ms) can rival the epoch's compute. No eval between
+    epochs, so this is for benchmark/burn-in phases; the trainer's per-epoch
+    loop remains the default. Returns
+    fn(graph, params, opt_state, state, rng) -> (params, opt_state, state,
+    mean_loss over all steps)."""
+
+    def loss_wrapper(params, state, batch, graph, rng):
+        loss, new_state = model.loss(params, state, batch, graph, rng)
+        return loss, new_state
+
+    grad_fn = jax.value_and_grad(loss_wrapper, has_aux=True)
+
+    def run(graph: DeviceGraph, params, opt_state, state, rng):
+        def one_epoch(carry, epoch_rng):
+            params, opt_state, state = carry
+            shuffle_key, neg_key, step_key = jax.random.split(epoch_rng, 3)
+            users, items, weights, n_batches = shuffled_epoch(
+                shuffle_key, graph, batch_size
+            )
+            neg_keys = jax.random.split(neg_key, n_batches)
+            negs = jax.vmap(
+                lambda k, u: sample_negatives(k, graph, u, n_negs_redraws)
+            )(neg_keys, users)
+            step_keys = jax.random.split(step_key, n_batches)
+
+            def step(carry, xs):
+                params, opt_state, state = carry
+                u, i, j, w, k = xs
+                batch = PairwiseBatch(u, i, j, w)
+                (loss, new_state), grads = grad_fn(params, state, batch, graph, k)
+                ok = jnp.isfinite(loss)
+                grads = jax.tree_util.tree_map(
+                    lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads
+                )
+                updates, opt_state = optimizer.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                new_state = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(ok, new, old), new_state, state
+                )
+                new_state = model.post_step(params, new_state, batch)
+                return (params, opt_state, new_state), loss
+
+            (params, opt_state, state), losses = jax.lax.scan(
+                step, (params, opt_state, state), (users, items, negs, weights, step_keys)
+            )
+            return (params, opt_state, state), jnp.mean(losses)
+
+        epoch_rngs = jax.random.split(rng, n_epochs)
+        (params, opt_state, state), epoch_losses = jax.lax.scan(
+            one_epoch, (params, opt_state, state), epoch_rngs
+        )
+        return params, opt_state, state, jnp.mean(epoch_losses)
+
+    return jax.jit(run)
+
+
 def tree_copy(tree: Any) -> Any:
     """Snapshot a pytree (JAX arrays are immutable; identity refs suffice)."""
     return jax.tree_util.tree_map(lambda x: x, tree)
