@@ -126,6 +126,23 @@ def from_scipy(
     )
 
 
+def binarized(adj: DeviceAdj) -> DeviceAdj:
+    """Same sparsity pattern with all values 1 — the RAW adjacency. Used for
+    GIN's unweighted neighbor sums and for bug-compatible modes of reference
+    scripts that skip degree normalization (e.g. `directau.py:132-141`)."""
+    return DeviceAdj(
+        rows=adj.rows,
+        cols=adj.cols,
+        vals=(adj.vals > 0).astype(jnp.float32),
+        dense=None if adj.dense is None else (adj.dense > 0).astype(jnp.float32),
+        n_rows=adj.n_rows,
+        n_cols=adj.n_cols,
+        backend=adj.backend,
+        compute_dtype=adj.compute_dtype,
+        rows_sorted=adj.rows_sorted,
+    )
+
+
 def densify(adj: DeviceAdj) -> jnp.ndarray:
     """Materialize the dense matrix from COO on device (used to refresh the
     dense backend after an on-device re-normalization / augmentation)."""

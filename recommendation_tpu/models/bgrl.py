@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from recommendation_tpu.graph.augment import drop_edges, mask_features
-from recommendation_tpu.graph.device import DeviceGraph
+from recommendation_tpu.graph.device import DeviceGraph, binarized
 from recommendation_tpu.losses import bootstrap_g2l_loss
 from recommendation_tpu.models.base import Model
 from recommendation_tpu.models.registry import register
@@ -89,14 +89,7 @@ class BGRL(Model):
         # unnormalized neighbor-sum adjacency for GIN: use norm_adj structure
         # with binarized values would lose degree info; GIN uses raw sums, so
         # propagate with the 0/1 adjacency = norm_adj with values replaced.
-        adj = graph.norm_adj
-        ones = type(adj)(
-            rows=adj.rows, cols=adj.cols,
-            vals=(adj.vals > 0).astype(jnp.float32),
-            dense=None if adj.dense is None else (adj.dense > 0).astype(jnp.float32),
-            n_rows=adj.n_rows, n_cols=adj.n_cols, backend=adj.backend,
-            compute_dtype=adj.compute_dtype, rows_sorted=adj.rows_sorted,
-        )
+        ones = binarized(graph.norm_adj)
         a1 = drop_edges(ke1, ones, self.drop_edge)
         a2 = drop_edges(ke2, ones, self.drop_edge)
         x1 = mask_features(kf1, params["features"], self.drop_feat)
@@ -126,13 +119,6 @@ class BGRL(Model):
         return {"target": target}
 
     def eval_embeddings(self, params, state, graph: DeviceGraph):
-        adj = graph.norm_adj
-        ones = type(adj)(
-            rows=adj.rows, cols=adj.cols,
-            vals=(adj.vals > 0).astype(jnp.float32),
-            dense=None if adj.dense is None else (adj.dense > 0).astype(jnp.float32),
-            n_rows=adj.n_rows, n_cols=adj.n_cols, backend=adj.backend,
-            compute_dtype=adj.compute_dtype, rows_sorted=adj.rows_sorted,
-        )
+        ones = binarized(graph.norm_adj)
         z, _ = self._gin(params["online"], params["features"], ones)
         return z[: graph.n_users], z[graph.n_users :]

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import jax
 
-from recommendation_tpu.graph.device import DeviceGraph
+from recommendation_tpu.graph.device import DeviceGraph, binarized
 from recommendation_tpu.losses import alignment_loss, l2_reg_loss, uniformity_loss
 from recommendation_tpu.models.base import Model
 from recommendation_tpu.models.lightgcn import lightgcn_propagate
@@ -31,6 +31,13 @@ class DirectAU(Model):
         self.gamma = float(config.get("DirectAU.gamma", 1.0))
         self.n_layers = int(config.get("DirectAU.n_layers", config.get("n_layers", 2)))
         self.neg_composition = bool(config.get("DirectAU.neg_composition", True))
+        # The reference script propagates over the RAW adjacency — its
+        # `_build_adj` (`directau.py:132-141`) never degree-normalizes.
+        # Default False reproduces that behavior (measured: it outperforms
+        # the normalized variant on popularity-skewed data, head-to-head
+        # parity in tools/parity_vs_reference.py); True gives published
+        # LightGCN-style D^-1/2 A D^-1/2 propagation.
+        self.normalize_adj = bool(config.get("DirectAU.normalize_adj", False))
 
     def init(self, rng, graph: DeviceGraph):
         ku, ki = jax.random.split(rng)
@@ -45,9 +52,12 @@ class DirectAU(Model):
         uniform = self.gamma * (uniformity_loss(u) + uniformity_loss(i)) / 2.0
         return align + uniform
 
+    def _adj(self, graph: DeviceGraph):
+        return graph.norm_adj if self.normalize_adj else binarized(graph.norm_adj)
+
     def loss(self, params, state, batch: PairwiseBatch, graph: DeviceGraph, rng):
         user_all, item_all = lightgcn_propagate(
-            params["user_emb"], params["item_emb"], graph.norm_adj, self.n_layers
+            params["user_emb"], params["item_emb"], self._adj(graph), self.n_layers
         )
         u = user_all[batch.users]
         pos = item_all[batch.pos_items]
@@ -60,5 +70,5 @@ class DirectAU(Model):
 
     def eval_embeddings(self, params, state, graph: DeviceGraph):
         return lightgcn_propagate(
-            params["user_emb"], params["item_emb"], graph.norm_adj, self.n_layers
+            params["user_emb"], params["item_emb"], self._adj(graph), self.n_layers
         )

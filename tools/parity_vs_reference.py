@@ -1,0 +1,164 @@
+"""Head-to-head metric parity: OUR models vs the REFERENCE implementations.
+
+Runs the actual reference scripts' model classes (imported from
+/root/reference, torch-CPU) and our TPU-native models on the SAME dataset
+with matched hyperparameters, then evaluates BOTH embedding sets with the
+same evaluator (ours, vectorized — identical formulas to theirs, tested).
+
+Only reference scripts whose dependencies exist here can run:
+directau.py, selfcf.py, univariate/buir.py (torch+scipy only). The others
+need torch_geometric / faiss / numba, which this image does not ship.
+
+Usage:  python tools/parity_vs_reference.py [--epochs 2]
+Appends a summary row per model to stdout; paste into BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib.util
+import sys
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+EPOCHS = 2
+EMB = 64
+BATCH = 2048
+LR = 1e-3
+TOPN = [20]
+
+
+def _load_reference_module(path, name):
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _metrics_from_embeddings(ue, ie, data, graph):
+    import jax.numpy as jnp
+
+    from recommendation_tpu.evalx.ranking import evaluate_ranking
+
+    res = evaluate_ranking(jnp.asarray(ue), jnp.asarray(ie), data, graph, Ns=TOPN)
+    return {k: round(v, 4) for k, v in res.metrics.items()}
+
+
+def run_reference_directau(train, test, epochs):
+    mod = _load_reference_module("/root/reference/directau.py", "ref_directau")
+    conf = {
+        "model": {"name": "DirectAU"},
+        "DirectAU": {"gamma": 1.0, "n_layers": 2},
+        "embedding.size": EMB, "batch.size": BATCH, "learning.rate": LR,
+        "reg.lambda": 1e-4, "optimizer": "adam", "max.epoch": epochs,
+        "item.ranking.topN": TOPN,
+    }
+    model = mod.DirectAU(conf, train, test)
+    # their train() hardcodes range(1); loop it ourselves for matched epochs
+    import torch
+
+    optimizer = torch.optim.Adam(model.model.parameters(), lr=LR)
+    for _ in range(epochs):
+        for user_idx, pos_idx, neg_idx in mod.next_batch_pairwise(model.data, BATCH):
+            user_emb, item_emb, _ = model.model()
+            u, p, n = user_emb[user_idx], item_emb[pos_idx], item_emb[neg_idx]
+            loss = model.calculate_loss(u, p) - model.calculate_loss(u, n)
+            loss = loss + mod.l2_reg_loss(model.reg, u, p, n) / BATCH
+            optimizer.zero_grad(); loss.backward(); optimizer.step()
+    with torch.no_grad():
+        ue, ie, _ = model.model()
+    return ue.numpy(), ie.numpy(), model.data
+
+
+def run_reference_buir(train, test, epochs):
+    mod = _load_reference_module("/root/reference/univariate/buir.py", "ref_buir")
+    conf = {
+        "model": {"name": "BUIR"},
+        "BUIR": {"tau": 0.995, "n_layer": 2, "drop_rate": 0.2},
+        "emb_size": EMB, "batch_size": BATCH, "lr": LR,
+        "embedding.size": EMB, "batch.size": BATCH, "learning.rate": LR,
+        "reg.lambda": 1e-4, "max.epoch": epochs, "item.ranking.topN": TOPN,
+    }
+    model = mod.BUIR(conf, train, test)
+    import torch
+
+    net = model.model
+    optimizer = torch.optim.Adam(net.parameters(), lr=LR)
+    for _ in range(epochs):
+        for user_idx, i_idx, j_idx in mod.next_batch_pairwise(model.data, BATCH):
+            output = net({"user": user_idx, "item": i_idx})
+            loss = net.get_loss(output)
+            optimizer.zero_grad(); loss.backward(); optimizer.step()
+            net.update_target(user_idx, i_idx)
+    p_u, u_on, p_i, i_on = net.get_embedding()
+    ue = np.concatenate([p_u.detach().numpy(), u_on.detach().numpy()], axis=1)
+    ie = np.concatenate([i_on.detach().numpy(), p_i.detach().numpy()], axis=1)
+    return ue, ie, model.data
+
+
+def run_ours(name, train, test, epochs, extra=None):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from recommendation_tpu.config import default_config
+    from recommendation_tpu.data.interaction import Interaction
+    from recommendation_tpu.graph.device import DeviceGraph
+    from recommendation_tpu.models import get_model
+    from recommendation_tpu.train.recommender import GraphRecommender
+    from recommendation_tpu.utils.logging import Log
+
+    config = default_config(**{
+        "max.epoch": epochs, "embedding.size": EMB, "batch.size": BATCH,
+        "learning.rate": LR, "item.ranking.topN": TOPN,
+        "eval.interval": max(1, epochs), **(extra or {}),
+    })
+    data = Interaction(train, test)
+    graph = DeviceGraph(data)
+    rec = GraphRecommender(get_model(name, config), data, config, graph=graph, log=Log(echo=False))
+    rec.build()
+    rec.train()
+    ue, ie = rec.model.eval_embeddings(rec.params, rec.state, graph)
+    return np.asarray(ue), np.asarray(ie), data, graph
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=EPOCHS)
+    args = ap.parse_args()
+
+    from recommendation_tpu.data.synthetic import load_or_make_dataset
+
+    train, test = load_or_make_dataset()
+
+    rows = []
+    for name, ref_fn, extra in (
+        ("directau", run_reference_directau, {"DirectAU.gamma": 1.0, "DirectAU.n_layers": 2}),
+        ("buir", run_reference_buir, {"BUIR.tau": 0.995, "BUIR.n_layer": 2, "BUIR.drop_rate": 0.2}),
+    ):
+        print(f"=== {name}: reference (torch-cpu) ...", flush=True)
+        ref_ue, ref_ie, ref_data = ref_fn(list(train), list(test), args.epochs)
+        print(f"=== {name}: ours (jax) ...", flush=True)
+        our_ue, our_ie, data, graph = run_ours(name, train, test, args.epochs, extra)
+        # the reference scripts drift on id assignment (sorted vs insertion
+        # order, SURVEY.md §2.3) — remap their rows into OUR id space
+        uperm = np.array([ref_data.user[data.id2user[i]] for i in range(data.user_num)])
+        iperm = np.array([ref_data.item[data.id2item[i]] for i in range(data.item_num)])
+        ref_ue, ref_ie = ref_ue[uperm], ref_ie[iperm]
+        ref_m = _metrics_from_embeddings(ref_ue, ref_ie, data, graph)
+        our_m = _metrics_from_embeddings(our_ue, our_ie, data, graph)
+        rows.append((name, ref_m, our_m))
+        print(f"{name}: reference={ref_m}")
+        print(f"{name}: ours     ={our_m}", flush=True)
+
+    print("\nSummary (same data, same epochs, same evaluator):")
+    for name, ref_m, our_m in rows:
+        print(f"  {name:10s} ref Recall@20={ref_m['Recall@20']:.4f} "
+              f"ours Recall@20={our_m['Recall@20']:.4f} | "
+              f"ref NDCG@20={ref_m['NDCG@20']:.4f} ours NDCG@20={our_m['NDCG@20']:.4f}")
+
+
+if __name__ == "__main__":
+    main()
