@@ -50,6 +50,29 @@ def test_model_smoke(name, tiny_data, tiny_graph, tiny_social_graph):
     assert rec.best_params is not None
 
 
+def test_esrf_reaches_adversarial_phase(tiny_data, tiny_social_graph):
+    """ESRF's phase schedule: 3 epochs with max.epoch=3 walks pretrain →
+    social → adversarial (the lax.switch branch the 2-epoch smoke never
+    hits)."""
+    config = default_config(**{**SMOKE_OVERRIDES, "max.epoch": 3})
+    model = registry.build("esrf", config)
+    rec = GraphRecommender(model, tiny_data, config, graph=tiny_social_graph, log=Log(echo=False))
+    rec.build()
+    phases = []
+    orig = model.epoch_begin
+
+    def spy(params, state, graph, rng, epoch):
+        new = orig(params, state, graph, rng, epoch)
+        phases.append(int(new["phase"]))
+        return new
+
+    model.epoch_begin = spy
+    rec.train()
+    assert phases == [0, 1, 2]
+    metrics = rec.test().metrics
+    assert np.isfinite(metrics["Recall@10"])
+
+
 def test_social_models_require_social_graph(tiny_data, tiny_graph):
     config = default_config(**SMOKE_OVERRIDES)
     model = registry.build("mhcn", config)

@@ -99,6 +99,27 @@ def run_reference_buir(train, test, epochs):
     return ue, ie, model.data
 
 
+def run_reference_selfcf(train, test, epochs):
+    mod = _load_reference_module("/root/reference/selfcf.py", "ref_selfcf")
+    conf = mod.ModelConf({
+        "model": {"name": "SelfCF"},
+        "SelfCF": {"tau": 0.05, "n_layer": 2},
+        "embedding.size": EMB, "batch.size": BATCH, "learning.rate": LR,
+        "reg.lambda": 1e-4, "reg.weight": 1.0, "optimizer": "adam",
+        "max.epoch": epochs, "item.ranking.topN": TOPN, "output": "/tmp/",
+    })
+    model = mod.SelfCF(conf, train, test)
+    model.train()  # their loop honors maxEpoch; best snapshot kept
+    p_u, u_on, p_i, i_on = (
+        t.detach().numpy() if hasattr(t, "detach") else np.asarray(t)
+        for t in (model.p_u_online, model.u_online, model.p_i_online, model.i_online)
+    )
+    # dual score p(u)·i + u·p(i) == concat embeddings (`selfcf.py:581-591`)
+    ue = np.concatenate([p_u, u_on], axis=1)
+    ie = np.concatenate([i_on, p_i], axis=1)
+    return ue, ie, model.data
+
+
 def run_ours(name, train, test, epochs, extra=None):
     import jax
 
@@ -137,6 +158,7 @@ def main():
     for name, ref_fn, extra in (
         ("directau", run_reference_directau, {"DirectAU.gamma": 1.0, "DirectAU.n_layers": 2}),
         ("buir", run_reference_buir, {"BUIR.tau": 0.995, "BUIR.n_layer": 2, "BUIR.drop_rate": 0.2}),
+        ("selfcf", run_reference_selfcf, {"SelfCF.tau": 0.05, "SelfCF.n_layer": 2, "reg.weight": 1.0}),
     ):
         print(f"=== {name}: reference (torch-cpu) ...", flush=True)
         ref_ue, ref_ie, ref_data = ref_fn(list(train), list(test), args.epochs)
