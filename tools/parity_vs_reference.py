@@ -120,6 +120,59 @@ def run_reference_selfcf(train, test, epochs):
     return ue, ie, model.data
 
 
+def run_reference_gcl(train, test, epochs):
+    """gcl.py works on integer-id files via pandas; write numeric views and
+    replicate its training step (`gcl.py:204-227`) with a fixed config."""
+    import os
+    import tempfile
+
+    import torch
+
+    mod = _load_reference_module("/root/reference/gcl.py", "ref_gcl")
+    tmp = tempfile.mkdtemp()
+
+    def write_numeric(rows, path):
+        with open(path, "w") as f:
+            for u, i, w in rows:
+                f.write(f"{int(str(u)[1:])} {int(str(i)[1:])} {w}\n")
+
+    train_path = os.path.join(tmp, "train.txt")
+    test_path = os.path.join(tmp, "test.txt")
+    write_numeric(train, train_path)
+    write_numeric(test, test_path)
+    edge_index, train_df, test_df, num_users, num_items = mod.load_data(train_path, test_path)
+    user_pos = mod.get_user_pos(train_df)
+
+    model = mod.GRACEModel(num_users, num_items, emb_size=EMB, num_layers=2)
+    optimizer = torch.optim.Adam(model.parameters(), lr=LR, weight_decay=1e-4)
+    aug = mod.EdgeRemoving(pe=0.2)
+    for _ in range(epochs):
+        for users, pos_items, neg_items in mod.next_batch_pairwise(
+            train_df, BATCH, num_users, num_items, user_pos
+        ):
+            optimizer.zero_grad()
+            z1, z2 = model(aug(edge_index), aug(edge_index))
+            u1, i1 = z1[:num_users], z1[num_users:]
+            u2, i2 = z2[:num_users], z2[num_users:]
+            ssl = mod.info_nce_loss(u1, u2, 0.2) + mod.info_nce_loss(i1, i2, 0.2)
+            u_e, p_e, n_e = u1[users], i1[pos_items], i1[neg_items]
+            bpr = -torch.nn.functional.logsigmoid(
+                (u_e * p_e).sum(1) - (u_e * n_e).sum(1)
+            ).mean()
+            reg = (u_e.norm(2).pow(2) + p_e.norm(2).pow(2) + n_e.norm(2).pow(2)) / len(users)
+            (ssl + bpr + 1e-4 * reg).backward()
+            optimizer.step()
+    with torch.no_grad():
+        z = model.encode(edge_index)
+    # raw integer ids ARE the row indices in gcl.py; expose an id->row map
+    # compatible with the remapping step
+    class _Ids:
+        user = {f"u{i}": i for i in range(num_users)}
+        item = {f"i{i}": i for i in range(num_items)}
+
+    return z[:num_users].numpy(), z[num_users:].numpy(), _Ids
+
+
 def run_ours(name, train, test, epochs, extra=None):
     import jax
 
@@ -159,6 +212,10 @@ def main():
         ("directau", run_reference_directau, {"DirectAU.gamma": 1.0, "DirectAU.n_layers": 2}),
         ("buir", run_reference_buir, {"BUIR.tau": 0.995, "BUIR.n_layer": 2, "BUIR.drop_rate": 0.2}),
         ("selfcf", run_reference_selfcf, {"SelfCF.tau": 0.05, "SelfCF.n_layer": 2, "reg.weight": 1.0}),
+        # bug-compatible mode: the reference's "convs" are plain Linears
+        ("gcl", run_reference_gcl, {"GCL.encoder": "linear", "GCL.ssl_temp": 0.2,
+                                    "GCL.drop_edge": 0.2, "GCL.reg_weight": 1e-4,
+                                    "weight.decay": 1e-4, "optimizer": "adamw"}),
     ):
         print(f"=== {name}: reference (torch-cpu) ...", flush=True)
         ref_ue, ref_ie, ref_data = ref_fn(list(train), list(test), args.epochs)
