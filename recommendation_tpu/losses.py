@@ -3,7 +3,8 @@
 Pure jnp; all differentiable under ``jax.grad`` and fusable under ``jit``.
 Numerical contracts match the reference formulas cited per-function; full-
 catalog / all-pairs denominators also have blockwise streaming variants in
-``ops/fused_losses.py`` for sharded execution (SURVEY.md §7.3).
+``ops/pallas_losses.py`` / ``parallel/collectives.py`` for sharded
+execution (SURVEY.md §7.3).
 """
 
 from __future__ import annotations

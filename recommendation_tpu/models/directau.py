@@ -6,8 +6,8 @@ DirectAU algorithm uses positives only. Both are supported via
 ``DirectAU.neg_composition`` (default True = reference-script semantics,
 SURVEY.md §7.3 faithful-vs-fixed policy).
 
-The all-pairs uniformity term has a blockwise/ring variant for sharded
-execution in ``ops/fused_losses.py``.
+The all-pairs uniformity term has blockwise/ring variants for sharded
+execution (``ops/pallas_losses.py``, ``parallel/collectives.py``).
 """
 
 from __future__ import annotations

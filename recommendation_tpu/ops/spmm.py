@@ -12,8 +12,9 @@ with TPU-native paths (SURVEY.md §2.4 rows 1-2):
     path is the fastest possible propagation. Deliberately un-CUDA-shaped.
   * **segment** — gather + ``segment_sum`` over sorted COO. General fallback,
     any size, fuses with the value computation under XLA.
-  * **pallas** — a hand-tiled kernel (``ops/pallas_spmm.py``) for large graphs
-    where neither path is ideal; falls back to segment when unavailable.
+  * **pallas** — reserved for a hand-tiled kernel; currently routes to the
+    segment path (see ``ops/pallas_spmm.py`` for why it is shelved on this
+    toolchain).
 
 All backends are numerically equivalent (tested against a scipy oracle).
 """
