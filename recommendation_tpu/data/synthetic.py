@@ -73,15 +73,21 @@ def make_flat_interactions(
     (user, item). For throughput benchmarks at Yelp/Gowalla scale where the
     latent structure of :func:`make_synthetic_dataset` doesn't matter."""
     rng = np.random.default_rng(seed)
+    n_interactions = min(n_interactions, n_users * n_items)
     user_w = rng.lognormal(0.0, 1.0, size=n_users)
     user_p = user_w / user_w.sum()
     item_w = 1.0 / np.arange(1, n_items + 1) ** 0.8
     item_p = item_w / item_w.sum()
-    # oversample then dedupe to hit the target count
-    target = int(n_interactions * 1.3)
-    users = rng.choice(n_users, size=target, p=user_p)
-    items = rng.choice(n_items, size=target, p=item_p)
-    pairs = np.unique(np.stack([users, items], axis=1), axis=0)
+    # oversample-and-dedupe, growing the factor until the target is met
+    # (skewed distributions collide heavily on dense grids)
+    factor = 1.3
+    pairs = np.empty((0, 2), dtype=np.int64)
+    while len(pairs) < n_interactions and factor < 64:
+        target = int(n_interactions * factor)
+        users = rng.choice(n_users, size=target, p=user_p)
+        items = rng.choice(n_items, size=target, p=item_p)
+        pairs = np.unique(np.stack([users, items], axis=1), axis=0)
+        factor *= 2
     rng.shuffle(pairs)
     return pairs[:n_interactions]
 

@@ -35,14 +35,17 @@ def _l2n(x):
     return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
 
 
-def sept_encoder(emb, adj, n_layers):
-    """Propagation with per-layer L2 normalization, SUM readout incl. layer 0
-    (`sept_social.py:370-377`)."""
+def sept_encoder(emb, adj, n_layers, readout: str = "sum"):
+    """Propagation with per-layer L2 normalization. Readout over layers incl.
+    layer 0: SUM for the full social SEPT (`sept_social.py:370-377`), MEAN
+    for the simplified script (`sept.py:220-226`)."""
     acc = emb
     for _ in range(n_layers):
         emb = adj_matmul(adj, emb)
         emb = _l2n(emb)
         acc = acc + emb
+    if readout == "mean":
+        return acc / (n_layers + 1)
     return acc
 
 
@@ -169,15 +172,17 @@ class SEPTBasic(Model):
     def loss(self, params, state, batch: PairwiseBatch, graph: DeviceGraph, rng):
         adj = graph.normalized_bipartite(state["aug_keep"])
         ego = jnp.concatenate([params["user_emb"], params["item_emb"]], axis=0)
-        out = sept_encoder(ego, adj, self.n_layers)
+        out = sept_encoder(ego, adj, self.n_layers, readout="mean")
         u, i = out[: graph.n_users], out[graph.n_users :]
-        loss = bpr_loss(u[batch.users], i[batch.pos_items], i[batch.neg_items])
+        ue, ie, je = u[batch.users], i[batch.pos_items], i[batch.neg_items]
+        loss = bpr_loss(ue, ie, je)
+        # batch-row squared-norm reg / 2 (`sept.py:242-243`)
         loss = loss + self.reg * (
-            jnp.sum(params["user_emb"] ** 2) + jnp.sum(params["item_emb"] ** 2)
-        )
+            jnp.sum(ue ** 2) + jnp.sum(ie ** 2) + jnp.sum(je ** 2)
+        ) / 2.0
         return loss, state
 
     def eval_embeddings(self, params, state, graph: DeviceGraph):
         ego = jnp.concatenate([params["user_emb"], params["item_emb"]], axis=0)
-        out = sept_encoder(ego, graph.norm_adj, self.n_layers)
+        out = sept_encoder(ego, graph.norm_adj, self.n_layers, readout="mean")
         return out[: graph.n_users], out[graph.n_users :]

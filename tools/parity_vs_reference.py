@@ -173,6 +173,23 @@ def run_reference_gcl(train, test, epochs):
     return z[:num_users].numpy(), z[num_users:].numpy(), _Ids
 
 
+def run_reference_sept_basic(train, test, epochs):
+    """univariate/sept.py — the simplified no-social SEPT (torch+scipy)."""
+    import torch
+
+    mod = _load_reference_module("/root/reference/univariate/sept.py", "ref_sept")
+    conf = {
+        "model": {"name": "SEPT"},
+        "SEPT": {"n_layer": 2, "ss_rate": 0.005, "drop_rate": 0.3, "ins_cnt": 10},
+        "emb_size": EMB, "batch_size": BATCH, "lr": LR, "reg_lambda": 1e-4,
+        "embedding.size": EMB, "batch.size": BATCH, "learning.rate": LR,
+        "reg.lambda": 1e-4, "max.epoch": epochs, "item.ranking.topN": TOPN,
+    }
+    model = mod.SEPT(conf, train, test)
+    model.train()  # honors conf['max.epoch']
+    return model.U.detach().numpy(), model.V.detach().numpy(), model.data
+
+
 def run_ours(name, train, test, epochs, extra=None):
     import jax
 
@@ -216,6 +233,8 @@ def main():
         ("gcl", run_reference_gcl, {"GCL.encoder": "linear", "GCL.ssl_temp": 0.2,
                                     "GCL.drop_edge": 0.2, "GCL.reg_weight": 1e-4,
                                     "weight.decay": 1e-4, "optimizer": "adamw"}),
+        ("sept_basic", run_reference_sept_basic,
+         {"SEPT.n_layer": 2, "SEPT.drop_rate": 0.3}),
     ):
         print(f"=== {name}: reference (torch-cpu) ...", flush=True)
         ref_ue, ref_ie, ref_data = ref_fn(list(train), list(test), args.epochs)
