@@ -223,11 +223,27 @@ class DeviceGraph:
             self.user_positives = jnp.full((1, 1), -1, jnp.int32)
         self.user_degrees = jnp.asarray(degs.astype(np.int32))
 
+        # Dense sym-normalized interaction block R̂ = D_u^-1/2 R D_i^-1/2 for
+        # the bipartite-block propagation path: the square adjacency is
+        # block-anti-diagonal (A = [[0, R̂], [R̂ᵀ, 0]]), so Â @ [U; I] =
+        # [R̂ @ I; R̂ᵀ @ U] — two rectangular matmuls with (U·I)/(U+I)² ≈ 4×
+        # fewer elements touched than the square dense path.
+        self.interaction_norm_dense = None
+        if self.backend == "dense":
+            deg_u = np.asarray(data.interaction_mat.sum(axis=1)).flatten()
+            deg_i = np.asarray(data.interaction_mat.sum(axis=0)).flatten()
+            du = np.where(deg_u > 0, deg_u ** -0.5, 0.0).astype(np.float32)
+            di = np.where(deg_i > 0, deg_i ** -0.5, 0.0).astype(np.float32)
+            r_hat = data.interaction_mat.multiply(du[:, None]).multiply(di[None, :])
+            self.interaction_norm_dense = jnp.asarray(
+                np.asarray(r_hat.todense(), dtype=np.float32)
+            )
+
     # -- pytree protocol (so a DeviceGraph can be a jit argument) -------------
 
     _DATA_FIELDS = (
         "edge_users", "edge_items", "edge_valid",
-        "norm_adj", "norm_adj_selfloops",
+        "norm_adj", "norm_adj_selfloops", "interaction_norm_dense",
         "user_positives", "user_degrees", "csr_indptr", "csr_items",
     )
     _META_FIELDS = (

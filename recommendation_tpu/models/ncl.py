@@ -72,6 +72,7 @@ class NCL(Model):
         return lightgcn_propagate(
             params["user_emb"], params["item_emb"], graph.norm_adj,
             self.n_layers, return_layers=True,
+            bipartite_dense=getattr(graph, "interaction_norm_dense", None),
         )
 
     def epoch_begin(self, params, state, graph: DeviceGraph, rng, epoch: int):

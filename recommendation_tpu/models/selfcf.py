@@ -55,7 +55,8 @@ class SelfCF(Model):
 
     def loss(self, params, state, batch: PairwiseBatch, graph: DeviceGraph, rng):
         u_online, i_online = lightgcn_propagate(
-            params["user_emb"], params["item_emb"], graph.norm_adj, self.n_layers
+            params["user_emb"], params["item_emb"], graph.norm_adj, self.n_layers,
+            bipartite_dense=getattr(graph, "interaction_norm_dense", None),
         )
         users, items = batch.users, batch.pos_items
         u_rows = u_online[users]
@@ -81,7 +82,8 @@ class SelfCF(Model):
 
     def eval_embeddings(self, params, state, graph: DeviceGraph):
         u_online, i_online = lightgcn_propagate(
-            params["user_emb"], params["item_emb"], graph.norm_adj, self.n_layers
+            params["user_emb"], params["item_emb"], graph.norm_adj, self.n_layers,
+            bipartite_dense=getattr(graph, "interaction_norm_dense", None),
         )
         user_cat = jnp.concatenate([self._predict_head(params, u_online), u_online], axis=1)
         item_cat = jnp.concatenate([i_online, self._predict_head(params, i_online)], axis=1)

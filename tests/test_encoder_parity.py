@@ -46,6 +46,23 @@ def test_lightgcn_propagation_matches_torch(tiny_data):
         assert np.allclose(np.asarray(got_i), want_i, atol=2e-4), backend
 
 
+def test_bipartite_block_propagation_matches_square(tiny_data, tiny_graph):
+    """The two-rectangular-matmul path (R̂ blocks) must equal the square
+    Â path exactly (same normalization, same readout)."""
+    rng = np.random.default_rng(3)
+    d = 16
+    ue = jnp.asarray(rng.normal(size=(tiny_data.user_num, d)).astype(np.float32))
+    ie = jnp.asarray(rng.normal(size=(tiny_data.item_num, d)).astype(np.float32))
+    sq_u, sq_i = lightgcn_propagate(ue, ie, tiny_graph.norm_adj, 3)
+    bp_u, bp_i = lightgcn_propagate(
+        ue, ie, tiny_graph.norm_adj, 3,
+        bipartite_dense=tiny_graph.interaction_norm_dense,
+    )
+    assert tiny_graph.interaction_norm_dense is not None
+    assert np.allclose(np.asarray(sq_u), np.asarray(bp_u), atol=1e-5)
+    assert np.allclose(np.asarray(sq_i), np.asarray(bp_i), atol=1e-5)
+
+
 def test_sept_encoder_matches_torch(tiny_data):
     """SEPT's per-layer-normalized SUM-readout encoder
     (`sept_social.py:370-377`) vs torch."""
