@@ -106,6 +106,15 @@ def main(argv=None):
 
     sub.add_parser("models")
 
+    p = sub.add_parser("serve", help="train (or resume from checkpoint) then serve top-k over HTTP")
+    p.add_argument("--model", required=True)
+    p.add_argument("--train")
+    p.add_argument("--test")
+    p.add_argument("--social")
+    p.add_argument("--set", action="append", help="config override key=value")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+
     p = sub.add_parser("synthesize-social",
                        help="build social.txt from train interactions (test.ipynb protocol)")
     p.add_argument("--train", required=True)
@@ -141,6 +150,30 @@ def main(argv=None):
     from recommendation_tpu.config import default_config
 
     config = default_config(**_parse_sets(args.set))
+
+    if args.cmd == "serve":
+        from recommendation_tpu.data.interaction import Interaction
+        from recommendation_tpu.graph.device import DeviceGraph
+        from recommendation_tpu.models import registry
+        from recommendation_tpu.serve import RecommenderService, serve_http
+        from recommendation_tpu.train.recommender import GraphRecommender
+
+        train, test, train_path = _load_sets(args)
+        data = Interaction(train, test)
+        social = _maybe_social(args, args.model, data, train_path)
+        if social is not None:
+            from recommendation_tpu.graph.social_device import SocialDeviceGraph
+
+            graph = SocialDeviceGraph(data, social, backend=config.get("graph.backend", "auto"))
+        else:
+            graph = DeviceGraph(data, backend=config.get("graph.backend", "auto"))
+        rec = GraphRecommender(registry.build(args.model, config), data, config, graph=graph)
+        rec.build()
+        rec.train()
+        service = RecommenderService.from_recommender(rec)
+        print(f"serving on http://{args.host}:{args.port}  (GET /recommend?user=<id>&k=10)")
+        serve_http(service, host=args.host, port=args.port)
+        return 0
 
     if args.cmd == "train":
         from recommendation_tpu.data.interaction import Interaction

@@ -1,0 +1,108 @@
+"""Online retrieval service — the serving half of the production story.
+
+The reference stops at offline evaluation; production deployment needs a
+query path: user id(s) → top-k items, against device-resident embeddings.
+
+``RecommenderService`` holds the frozen (user_emb, item_emb) matrices on
+device and answers batch queries with the masked MIPS top-k primitive —
+train-set positives excluded exactly as in evaluation (`selfcf.py:419-421`
+semantics). On a multi-chip mesh it uses the sharded top-k merge
+(`parallel/collectives.py`) over a row-sharded item table.
+
+Construction paths:
+  * ``RecommenderService.from_recommender(rec)``   — after training;
+  * ``RecommenderService(user_emb, item_emb, data, graph)`` — from arrays
+    (e.g. restored from an orbax checkpoint via the model's
+    ``eval_embeddings``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from recommendation_tpu.data.interaction import Interaction
+from recommendation_tpu.graph.device import DeviceGraph
+from recommendation_tpu.ops.topk import topk_with_exclusions
+
+
+class RecommenderService:
+    def __init__(
+        self,
+        user_emb,
+        item_emb,
+        data: Interaction,
+        graph: DeviceGraph,
+        mesh=None,
+    ):
+        self.user_emb = jnp.asarray(user_emb)
+        self.item_emb = jnp.asarray(item_emb)
+        self.data = data
+        self.graph = graph
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            import jax
+
+            from recommendation_tpu.parallel.embedding import pad_rows_to
+            from recommendation_tpu.parallel.mesh import MODEL_AXIS
+
+            n_model = mesh.shape[MODEL_AXIS]
+            self._item_sharded = jax.device_put(
+                pad_rows_to(self.item_emb, n_model),
+                NamedSharding(mesh, P(MODEL_AXIS, None)),
+            )
+
+    @classmethod
+    def from_recommender(cls, rec, mesh=None) -> "RecommenderService":
+        user_emb, item_emb = rec.model.eval_embeddings(rec.params, rec.state, rec.graph)
+        return cls(user_emb, item_emb, rec.data, rec.graph, mesh=mesh)
+
+    # -- queries --------------------------------------------------------------
+
+    def recommend_ids(
+        self, user_ids: Sequence[int], k: int = 10, exclude_seen: bool = True
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(scores f32[B,k], item ids i32[B,k]) for INTERNAL user ids."""
+        uids = np.asarray(user_ids, dtype=np.int32)
+        u = self.user_emb[uids]
+        if self.mesh is not None and not exclude_seen:
+            from recommendation_tpu.parallel.collectives import sharded_topk
+
+            s, i = sharded_topk(u, self._item_sharded, k, self.mesh)
+            return np.asarray(s), np.asarray(i)
+        if exclude_seen:
+            if getattr(self.graph, "has_pos_table", True):
+                pos = self.graph.user_positives[uids]
+            else:
+                mat = self.data.interaction_mat
+                degs = np.diff(mat.indptr)[uids]
+                width = max(1, int(degs.max()) if len(degs) else 1)
+                pos = np.full((len(uids), width), -1, dtype=np.int32)
+                for row, uid in enumerate(uids):
+                    items = mat.indices[mat.indptr[uid]:mat.indptr[uid + 1]]
+                    pos[row, : len(items)] = items
+        else:
+            pos = np.full((len(uids), 1), -1, dtype=np.int32)
+        s, i = topk_with_exclusions(u, self.item_emb, pos, k)
+        return np.asarray(s), np.asarray(i)
+
+    def recommend(
+        self, users: Sequence, k: int = 10, exclude_seen: bool = True
+    ) -> List[Optional[List[Dict]]]:
+        """External-id batch query. Unknown users yield None (caller decides
+        the cold-start fallback)."""
+        known = [(row, self.data.get_user_id(u)) for row, u in enumerate(users)]
+        valid = [(row, uid) for row, uid in known if uid is not None]
+        out: List[Optional[List[Dict]]] = [None] * len(users)
+        if valid:
+            rows, uids = zip(*valid)
+            scores, ids = self.recommend_ids(list(uids), k, exclude_seen)
+            for out_row, s_row, i_row in zip(rows, scores, ids):
+                out[out_row] = [
+                    {"item": self.data.id2item[int(i)], "score": float(s)}
+                    for s, i in zip(s_row, i_row)
+                ]
+        return out

@@ -1,0 +1,113 @@
+"""Serving path: batch API correctness + real HTTP round trips."""
+
+import json
+import urllib.request
+
+import numpy as np
+import pytest
+
+from recommendation_tpu.config import default_config
+from recommendation_tpu.models.lightgcn import LightGCN
+from recommendation_tpu.serve.http import serve_http
+from recommendation_tpu.serve.service import RecommenderService
+from recommendation_tpu.train.recommender import GraphRecommender
+from recommendation_tpu.utils.logging import Log
+
+
+@pytest.fixture(scope="module")
+def trained(tiny_data_module, tiny_graph_module):
+    config = default_config(**{
+        "max.epoch": 3, "batch.size": 512, "embedding.size": 16,
+        "item.ranking.topN": [10], "eval.interval": 3,
+    })
+    rec = GraphRecommender(
+        LightGCN(config), tiny_data_module, config, graph=tiny_graph_module,
+        log=Log(echo=False),
+    )
+    rec.build()
+    rec.train()
+    return rec
+
+
+@pytest.fixture(scope="module")
+def tiny_data_module():
+    from recommendation_tpu.data.interaction import Interaction
+    from recommendation_tpu.data.synthetic import make_synthetic_dataset
+
+    train, test = make_synthetic_dataset(n_users=60, n_items=100, n_interactions=2500, seed=3)
+    return Interaction(train, test)
+
+
+@pytest.fixture(scope="module")
+def tiny_graph_module(tiny_data_module):
+    from recommendation_tpu.graph.device import DeviceGraph
+
+    return DeviceGraph(tiny_data_module, backend="dense")
+
+
+@pytest.fixture(scope="module")
+def service(trained):
+    return RecommenderService.from_recommender(trained)
+
+
+def test_recommend_excludes_seen(service, tiny_data_module):
+    users = list(tiny_data_module.user)[:5]
+    results = service.recommend(users, k=10)
+    for user, items in zip(users, results):
+        assert items is not None and len(items) == 10
+        seen = set(tiny_data_module.training_set_u[user])
+        rec_items = [r["item"] for r in items]
+        assert not (set(rec_items) & seen), "recommended a train positive"
+        assert all(isinstance(r["score"], float) for r in items)
+
+
+def test_recommend_unknown_user(service):
+    out = service.recommend(["nope", list(service.data.user)[0]], k=5)
+    assert out[0] is None
+    assert out[1] is not None and len(out[1]) == 5
+
+
+def test_recommend_matches_eval_topk(service, trained, tiny_data_module):
+    """Service results must equal the evaluator's top-k for the same user."""
+    result = trained.test()
+    ref = result.as_reference_dict(tiny_data_module)
+    user = tiny_data_module.id2user[int(result.test_user_ids[0])]
+    got = service.recommend([user], k=10)[0]
+    assert [r["item"] for r in got] == [i for i, _ in ref[user][:10]]
+
+
+def test_http_round_trip(service):
+    server = serve_http(service, port=0, background=True)
+    try:
+        port = server.server_address[1]
+        base = f"http://127.0.0.1:{port}"
+
+        health = json.load(urllib.request.urlopen(f"{base}/healthz"))
+        assert health["status"] == "ok"
+
+        user = list(service.data.user)[0]
+        resp = json.load(urllib.request.urlopen(f"{base}/recommend?user={user}&k=5"))
+        assert resp["user"] == user and len(resp["items"]) == 5
+
+        # POST batch
+        body = json.dumps({"users": [user, "nope"], "k": 3}).encode()
+        req = urllib.request.Request(
+            f"{base}/recommend", data=body, headers={"Content-Type": "application/json"}
+        )
+        batch = json.load(urllib.request.urlopen(req))
+        assert len(batch["results"]) == 2
+        assert len(batch["results"][0]["items"]) == 3
+        assert batch["results"][1]["items"] is None
+
+        # error paths
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(f"{base}/recommend?user=nope")
+        assert e.value.code == 404
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(f"{base}/recommend")
+        assert e.value.code == 400
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(f"{base}/recommend?user={user}&k=abc")
+        assert e.value.code == 400
+    finally:
+        server.shutdown()
