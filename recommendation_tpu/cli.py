@@ -112,6 +112,7 @@ def main(argv=None):
     p.add_argument("--test")
     p.add_argument("--social")
     p.add_argument("--set", action="append", help="config override key=value")
+    p.add_argument("--checkpoint", help="restore from this checkpoint dir and serve WITHOUT training")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
 
@@ -167,9 +168,16 @@ def main(argv=None):
             graph = SocialDeviceGraph(data, social, backend=config.get("graph.backend", "auto"))
         else:
             graph = DeviceGraph(data, backend=config.get("graph.backend", "auto"))
+        if args.checkpoint:
+            # restore-only startup: no training pass
+            config.update({"checkpoint.dir": args.checkpoint, "checkpoint.resume": True,
+                           "max.epoch": 0})
         rec = GraphRecommender(registry.build(args.model, config), data, config, graph=graph)
         rec.build()
-        rec.train()
+        if args.checkpoint and rec.start_epoch == 0:
+            print(f"error: no checkpoint found in {args.checkpoint}", file=sys.stderr)
+            return 2
+        rec.train()  # no-op when restored past max.epoch
         service = RecommenderService.from_recommender(rec)
         print(f"serving on http://{args.host}:{args.port}  (GET /recommend?user=<id>&k=10)")
         serve_http(service, host=args.host, port=args.port)
