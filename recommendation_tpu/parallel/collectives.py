@@ -33,13 +33,18 @@ def sharded_topk(
     n_items = item_emb.shape[0]
     assert n_items % n_shards == 0
     rows_per_shard = n_items // n_shards
+    # a shard can contribute at most its own rows; the merge still recovers
+    # the global top-k as long as k ≤ Σ local_k
+    local_k = min(k, rows_per_shard)
+    k = min(k, n_items)
+    assert k <= local_k * n_shards
 
     def local_topk(u, local_items):
         shard = jax.lax.axis_index(MODEL_AXIS)
         scores = jnp.dot(u, local_items.T, preferred_element_type=jnp.float32)
-        s, i = jax.lax.top_k(scores, k)
+        s, i = jax.lax.top_k(scores, local_k)
         gids = i + shard * rows_per_shard
-        all_s = jax.lax.all_gather(s, MODEL_AXIS, axis=1)  # [B, S, k]
+        all_s = jax.lax.all_gather(s, MODEL_AXIS, axis=1)  # [B, S, local_k]
         all_i = jax.lax.all_gather(gids, MODEL_AXIS, axis=1)
         all_s = all_s.reshape(u.shape[0], -1)
         all_i = all_i.reshape(u.shape[0], -1)

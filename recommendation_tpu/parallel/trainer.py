@@ -101,6 +101,7 @@ class ShardedGraphRecommender(GraphRecommender):
         self._place_graph()
         self.params = self._place_tree(self.params, True)
         self.state = self._place_tree(self.state, True)
+        self._n_model = self.mesh.shape[MODEL_AXIS]
         # Init the optimizer on the PLACED params so Adam moments inherit the
         # table shardings. When super().build() restored a checkpoint, keep
         # the restored VALUES and only re-place them into that sharded
@@ -118,3 +119,60 @@ class ShardedGraphRecommender(GraphRecommender):
             )
         else:
             self.opt_state = placed
+
+    # -- sharded evaluation ---------------------------------------------------
+
+    def test(self):
+        """Ranking evaluation with the SHARDED top-k when the mesh has a
+        model axis: the item table is row-sharded and each shard scores its
+        rows + local top-k, merged via all-gather — the multi-chip retrieval
+        path (`parallel/collectives.py`). Falls back to the single-device
+        evaluator on a data-only mesh."""
+        if self._n_model <= 1:
+            return super().test()
+        import numpy as np
+
+        from recommendation_tpu.evalx.metrics import ranking_metrics
+        from recommendation_tpu.evalx.ranking import RankingResult
+        from recommendation_tpu.ops.topk import MASK_VALUE
+        from recommendation_tpu.parallel.collectives import sharded_topk
+        from recommendation_tpu.parallel.embedding import pad_rows_to
+
+        user_emb, item_emb = self.model.eval_embeddings(self.params, self.state, self.graph)
+        test_uids = self.data.test_user_ids()
+        max_n = max(self.topN)
+        item_sharded = jax.device_put(
+            pad_rows_to(jax.device_put(item_emb, self._rep), self._n_model), self._tab
+        )
+        # over-fetch so that masking train positives afterwards still leaves
+        # max_n candidates (the sharded kernel has no per-user mask); note a
+        # global top-k can lose candidates hidden behind a heavy user's
+        # positives only if k < degree+max_n — clamped by catalog size
+        k = min(int(self.graph.max_degree) + max_n, item_sharded.shape[0])
+        scores, ids = sharded_topk(
+            jax.device_put(user_emb[test_uids], self._rep), item_sharded, k, self.mesh
+        )
+        scores = np.asarray(scores).copy()
+        ids = np.asarray(ids)
+        # mask train positives + padded rows post-merge
+        mat = self.data.interaction_mat
+        for row, uid in enumerate(test_uids):
+            seen = set(mat.indices[mat.indptr[uid]:mat.indptr[uid + 1]].tolist())
+            for col in range(k):
+                if int(ids[row, col]) in seen or int(ids[row, col]) >= self.graph.n_items:
+                    scores[row, col] = MASK_VALUE
+        order = np.argsort(-scores, axis=1)[:, :max_n]
+        top_ids = np.take_along_axis(ids, order, axis=1)
+        top_scores = np.take_along_axis(scores, order, axis=1)
+        test_items = [
+            np.array(
+                [self.data.item[i] for i in self.data.test_set[self.data.id2user[int(u)]]],
+                dtype=np.int64,
+            )
+            for u in test_uids
+        ]
+        metrics = ranking_metrics(top_ids, test_items, self.topN)
+        return RankingResult(
+            metrics=metrics, top_ids=top_ids, top_scores=top_scores,
+            test_user_ids=test_uids,
+        )

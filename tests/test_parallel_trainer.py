@@ -49,6 +49,31 @@ def test_sharded_matches_single_device(tiny_data, tiny_graph_segment, mesh_spec)
     assert np.allclose(np.asarray(ie_s), np.asarray(ie_m), atol=5e-3)
 
 
+def test_sharded_eval_matches_single_device(tiny_data, tiny_graph_segment):
+    """ShardedGraphRecommender.test() (sharded top-k path) must produce the
+    same metrics as the single-device evaluator for the same embeddings."""
+    from recommendation_tpu.graph.device import DeviceGraph
+
+    config = default_config(**CONF)
+    single = GraphRecommender(
+        LightGCN(config), tiny_data, config, graph=tiny_graph_segment, log=Log(echo=False)
+    )
+    single.build()
+    single.train()
+    m_single = single.test().metrics
+
+    mesh = make_mesh(MeshSpec(data=4, model=2))
+    graph = DeviceGraph(tiny_data, backend="segment")
+    sharded = ShardedGraphRecommender(
+        LightGCN(config), tiny_data, config, graph=graph, mesh=mesh, log=Log(echo=False)
+    )
+    sharded.build()
+    sharded.train()
+    m_sharded = sharded.test().metrics
+    for key in m_single:
+        assert abs(m_single[key] - m_sharded[key]) < 5e-3, (key, m_single, m_sharded)
+
+
 def test_sharded_table_placement(tiny_data):
     """With table rows divisible by the model axis, tables get row-sharded."""
     from recommendation_tpu.graph.device import DeviceGraph
