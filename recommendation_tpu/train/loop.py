@@ -104,14 +104,15 @@ def make_epoch_fn(
         shuffle_key, neg_key, step_key = jax.random.split(rng, 3)
         users, items, weights, n_batches = shuffled_epoch(shuffle_key, graph, batch_size)
         neg_keys = jax.random.split(neg_key, n_batches)
-        negs = jax.vmap(lambda k, u: sample_negatives(k, graph, u, n_negs_redraws))(
-            neg_keys, users
-        )
         step_keys = jax.random.split(step_key, n_batches)
 
         def step(carry, xs):
             params, opt_state, state = carry
-            u, i, j, w, k = xs
+            u, i, nk, w, k = xs
+            # negatives sampled INSIDE the step: the positives gather +
+            # compare overlaps the propagation matmuls in the step's
+            # schedule instead of serializing as an up-front epoch phase
+            j = sample_negatives(nk, graph, u, n_negs_redraws)
             batch = PairwiseBatch(u, i, j, w)
             (loss, new_state), grads = grad_fn(params, state, batch, graph, k)
             # per-step NaN guard: a non-finite loss skips the update instead
@@ -130,7 +131,7 @@ def make_epoch_fn(
             return (params, opt_state, new_state), loss
 
         (params, opt_state, state), losses = jax.lax.scan(
-            step, (params, opt_state, state), (users, items, negs, weights, step_keys)
+            step, (params, opt_state, state), (users, items, neg_keys, weights, step_keys)
         )
         finite = jnp.isfinite(losses)
         mean_loss = jnp.sum(jnp.where(finite, losses, 0.0)) / jnp.maximum(
@@ -238,14 +239,12 @@ def make_multi_epoch_fn(
                 shuffle_key, graph, batch_size
             )
             neg_keys = jax.random.split(neg_key, n_batches)
-            negs = jax.vmap(
-                lambda k, u: sample_negatives(k, graph, u, n_negs_redraws)
-            )(neg_keys, users)
             step_keys = jax.random.split(step_key, n_batches)
 
             def step(carry, xs):
                 params, opt_state, state = carry
-                u, i, j, w, k = xs
+                u, i, nk, w, k = xs
+                j = sample_negatives(nk, graph, u, n_negs_redraws)
                 batch = PairwiseBatch(u, i, j, w)
                 (loss, new_state), grads = grad_fn(params, state, batch, graph, k)
                 ok = jnp.isfinite(loss)
@@ -261,7 +260,7 @@ def make_multi_epoch_fn(
                 return (params, opt_state, new_state), loss
 
             (params, opt_state, state), losses = jax.lax.scan(
-                step, (params, opt_state, state), (users, items, negs, weights, step_keys)
+                step, (params, opt_state, state), (users, items, neg_keys, weights, step_keys)
             )
             return (params, opt_state, state), jnp.mean(losses)
 
