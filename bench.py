@@ -186,12 +186,14 @@ def main():
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--skip-baseline", action="store_true")
     ap.add_argument("--large", action="store_true", help="also run Gowalla-class segment-path bench")
-    ap.add_argument("--bf16", action="store_true", help="bfloat16 MXU propagation")
+    ap.add_argument("--f32", action="store_true",
+                    help="float32 propagation (default is bf16-MXU, which is "
+                         "metric-identical on the e2e run — see BASELINE.md)")
     args = ap.parse_args()
 
     data = build_dataset()
     epochs = 3 if args.quick else 10
-    dtype = "bfloat16" if args.bf16 else "float32"
+    dtype = "float32" if args.f32 else "bfloat16"
     ours = bench_tpu(data, epochs, compute_dtype=dtype)
     if args.skip_baseline:
         ref = None
