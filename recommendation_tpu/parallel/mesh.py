@@ -52,6 +52,9 @@ def make_mesh(
     devices = list(devices if devices is not None else jax.devices())
     if shape is None:
         shape = default_mesh_shape(len(devices))
+    elif devices is not None and len(devices) > shape.n_devices:
+        # explicit shape smaller than the visible device count: use a prefix
+        devices = devices[: shape.n_devices]
     assert shape.n_devices == len(devices), (shape, len(devices))
     arr = np.asarray(devices).reshape(shape.data, shape.model)
     return Mesh(arr, axis_names=(DATA_AXIS, MODEL_AXIS))

@@ -76,6 +76,21 @@ def test_recommend_matches_eval_topk(service, trained, tiny_data_module):
     assert [r["item"] for r in got] == [i for i, _ in ref[user][:10]]
 
 
+def test_service_sharded_topk_path(trained, tiny_data_module):
+    """Mesh-backed service (row-sharded item table) must rank identically to
+    the single-device path when seen-exclusion is off."""
+    from recommendation_tpu.parallel.mesh import MeshSpec, make_mesh
+
+    mesh = make_mesh(MeshSpec(data=1, model=4))
+    svc_mesh = RecommenderService.from_recommender(trained, mesh=mesh)
+    svc_plain = RecommenderService.from_recommender(trained)
+    uids = [0, 3, 7]
+    s_m, i_m = svc_mesh.recommend_ids(uids, k=5, exclude_seen=False)
+    s_p, i_p = svc_plain.recommend_ids(uids, k=5, exclude_seen=False)
+    assert np.array_equal(i_m, i_p)
+    assert np.allclose(s_m, s_p, atol=1e-5)
+
+
 def test_http_round_trip(service):
     server = serve_http(service, port=0, background=True)
     try:
