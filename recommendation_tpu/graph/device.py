@@ -83,6 +83,9 @@ class DeviceAdj:
 # dense path (128M elems = 512 MB; a v5e chip has 16 GB HBM).
 DENSE_MAX_ELEMENTS = 128 * 1024 * 1024
 
+# Guaranteed-negative columns per user (see ``user_fallback_neg``).
+FALLBACK_NEGATIVES = 8
+
 # Padded per-user positives table cap (i32 elements): 64M = 256 MB.
 POS_TABLE_MAX_ELEMENTS = 64 * 1024 * 1024
 
@@ -223,6 +226,45 @@ class DeviceGraph:
             self.user_positives = jnp.full((1, 1), -1, jnp.int32)
         self.user_degrees = jnp.asarray(degs.astype(np.int32))
 
+        # Precomputed guaranteed negatives per user (host-side, random among
+        # the user's non-positives): the branch-free redraw sampler falls
+        # back to one of these when ALL its candidates collide — probability
+        # density_u^k, non-negligible for near-saturated users — so it never
+        # emits a positive as a negative, matching the reference's rejection
+        # loop (`ncl.py:104-112`) at the cost of a [B] gather. F columns,
+        # rotated randomly per draw, so a dense user's collisions don't
+        # repeatedly down-rank one fixed item (a single fallback measurably
+        # biased ranking on dense graphs). Saturated users (every item
+        # positive) get item 0; no true negative exists for them.
+        F = FALLBACK_NEGATIVES
+        fb_rng = np.random.default_rng(0xFA11BACC % (2**32))
+        fallback = np.zeros((self.n_users, F), dtype=np.int32)
+        indptr0, indices0 = mat0.indptr, mat0.indices  # sorted rows
+        for u in range(self.n_users):
+            row = indices0[indptr0[u]:indptr0[u + 1]]
+            if len(row) >= self.n_items:
+                continue
+            for f in range(F):
+                while True:
+                    c = int(fb_rng.integers(0, self.n_items))
+                    j = np.searchsorted(row, c)
+                    if j >= len(row) or row[j] != c:
+                        fallback[u, f] = c
+                        break
+        self.user_fallback_neg = jnp.asarray(fallback)
+
+        # Dense int8 membership mask [n_users, n_items]: positive-test for
+        # the mid-size envelope where the padded table is over cap but the
+        # dense mask still fits (mask cap DENSE_MAX_ELEMENTS > table cap
+        # POS_TABLE_MAX_ELEMENTS).
+        self.has_pos_mask = self.n_users * self.n_items <= DENSE_MAX_ELEMENTS
+        if self.has_pos_mask:
+            self.user_pos_mask = jnp.asarray(
+                (data.interaction_mat != 0).toarray().astype(np.int8)
+            )
+        else:
+            self.user_pos_mask = jnp.zeros((1, 1), jnp.int8)
+
         # Dense sym-normalized interaction block R̂ = D_u^-1/2 R D_i^-1/2 for
         # the bipartite-block propagation path: the square adjacency is
         # block-anti-diagonal (A = [[0, R̂], [R̂ᵀ, 0]]), so Â @ [U; I] =
@@ -245,10 +287,11 @@ class DeviceGraph:
         "edge_users", "edge_items", "edge_valid",
         "norm_adj", "norm_adj_selfloops", "interaction_norm_dense",
         "user_positives", "user_degrees", "csr_indptr", "csr_items",
+        "user_pos_mask", "user_fallback_neg",
     )
     _META_FIELDS = (
         "n_users", "n_items", "n_nodes", "n_edges", "max_degree", "backend",
-        "compute_dtype", "has_pos_table",
+        "compute_dtype", "has_pos_table", "has_pos_mask",
     )
 
     def tree_flatten(self):

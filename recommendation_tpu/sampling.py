@@ -36,16 +36,20 @@ class PairwiseBatch(NamedTuple):
 def _is_positive(graph: DeviceGraph, users: jnp.ndarray, items: jnp.ndarray) -> jnp.ndarray:
     """bool[B]: does (u, i) appear in the train set?
 
-    Two paths, chosen statically:
+    Three paths, chosen statically by graph size:
       * padded-table compare (one gather + vectorized equality) when the
         table exists — a log(max_degree) binary search is ~20× SLOWER here
         on TPU because its dependent mini-gathers serialize (measured:
         38 ms/epoch vs ~2 ms on ML-100K);
-      * windowed binary search over the CSR item lists when the padded table
-        was skipped (power-law graphs past POS_TABLE_MAX_ELEMENTS)."""
+      * dense int8 mask row-gather when only the mask fits (mask cap
+        DENSE_MAX_ELEMENTS > table cap POS_TABLE_MAX_ELEMENTS);
+      * windowed binary search over the CSR item lists otherwise."""
     if getattr(graph, "has_pos_table", True):
         pos_rows = graph.user_positives[users]  # [B, max_deg]
         return jnp.any(pos_rows == items[:, None], axis=1)
+    if getattr(graph, "has_pos_mask", False):
+        mask_rows = graph.user_pos_mask[users]  # [B, n_items] i8
+        return jnp.take_along_axis(mask_rows, items[:, None], axis=1)[:, 0] > 0
     lo = graph.csr_indptr[users]
     hi = graph.csr_indptr[users + 1]
     end = hi
@@ -75,12 +79,28 @@ def sample_negatives(
     redraw rounds (measured on TPU). First non-colliding candidate wins;
     residual collision probability is density^(n_redraws+1)."""
     k = n_redraws + 1
+    rng, fb_key = jax.random.split(rng)
+    n_fb = graph.user_fallback_neg.shape[1]
+    fb_col = jax.random.randint(fb_key, users.shape, 0, n_fb)
+    # single flat gather instead of a 2-D advanced index
+    fb_flat = graph.user_fallback_neg.reshape(-1)
+    fallback = jnp.take(fb_flat, users * n_fb + fb_col)
     if getattr(graph, "has_pos_table", True):
         draws = jax.random.randint(rng, (k,) + users.shape, 0, graph.n_items)
         pos_rows = graph.user_positives[users]  # [B, max_deg], gathered once
+        # broadcast-compare beats an i8-mask take_along_axis here: random
+        # per-row column gathers are slow on TPU, contiguous row gathers +
+        # vector equality are not (measured 7.9 vs 12.8 ms/epoch, ML-100K)
         bad = jnp.any(pos_rows[None, :, :] == draws[:, :, None], axis=2)  # [k, B]
-        first_good = jnp.argmax(~bad, axis=0)  # all-bad rows fall back to 0
-        return jnp.take_along_axis(draws, first_good[None, :], axis=0)[0]
+        first_good = jnp.argmax(~bad, axis=0)
+        chosen = jnp.take_along_axis(draws, first_good[None, :], axis=0)[0]
+        # all-k-bad rows (probability density_u^k — non-negligible for
+        # near-saturated users) fall back to one of the user's precomputed
+        # guaranteed negatives (rotated randomly so no single item absorbs
+        # a dense user's collisions): like the reference's rejection loop
+        # (`ncl.py:104-112`), a positive is never emitted as a negative —
+        # but branch-free.
+        return jnp.where(jnp.all(bad, axis=0), fallback.astype(chosen.dtype), chosen)
 
     keys = jax.random.split(rng, k)
     neg = jax.random.randint(keys[0], users.shape, 0, graph.n_items)
@@ -88,7 +108,8 @@ def sample_negatives(
         bad = _is_positive(graph, users, neg)
         redraw = jax.random.randint(key, users.shape, 0, graph.n_items)
         neg = jnp.where(bad, redraw, neg)
-    return neg
+    still_bad = _is_positive(graph, users, neg)
+    return jnp.where(still_bad, fallback, neg)
 
 
 def shuffled_epoch(

@@ -73,6 +73,45 @@ def test_is_positive_matches_oracle(tiny_data, tiny_graph):
             )
 
 
+def test_is_positive_all_paths_agree(tiny_data, tiny_graph):
+    """The three membership paths (int8 mask / padded table / CSR binary
+    search) must give identical answers on the same queries."""
+    import copy
+
+    from recommendation_tpu.sampling import _is_positive, sample_negatives
+
+    rng = np.random.default_rng(7)
+    b = 400
+    users = jnp.asarray(rng.integers(0, tiny_graph.n_users, size=b).astype(np.int32))
+    items = jnp.asarray(rng.integers(0, tiny_graph.n_items, size=b).astype(np.int32))
+
+    g_mask = tiny_graph
+    assert g_mask.has_pos_mask  # tiny graphs get the fast path
+    g_table = copy.copy(tiny_graph)
+    g_table.has_pos_mask = False
+    g_csr = copy.copy(tiny_graph)
+    g_csr.has_pos_mask = False
+    g_csr.has_pos_table = False
+
+    got_mask = np.asarray(_is_positive(g_mask, users, items))
+    got_table = np.asarray(_is_positive(g_table, users, items))
+    got_csr = np.asarray(_is_positive(g_csr, users, items))
+    assert np.array_equal(got_mask, got_table)
+    assert np.array_equal(got_mask, got_csr)
+
+    # sampled negatives are EXACT on every path: when all redraw candidates
+    # collide, the sampler falls back to the user's precomputed guaranteed
+    # negative instead of emitting a positive (this fixture is ~30% dense
+    # with near-saturated users — the fallback fires often here).
+    mat = tiny_data.interaction_mat
+    for g in (g_mask, g_table, g_csr):
+        negs = np.asarray(sample_negatives(jax.random.PRNGKey(1), g, users))
+        hits = sum(
+            mat[int(u), int(i)] != 0 for u, i in zip(np.asarray(users), negs)
+        )
+        assert hits == 0
+
+
 def test_pairwise_batches_shapes(tiny_graph):
     batches = list(pairwise_batches(jax.random.PRNGKey(2), tiny_graph, 128))
     assert all(b.users.shape == (128,) for b in batches)
