@@ -32,6 +32,11 @@ def _segment_matmul(adj: DeviceAdj, x: jnp.ndarray) -> jnp.ndarray:
     # rematerialized: the [E, d] gathered intermediate (1 GB at 4M edges ×
     # 64 dims) is recomputed in the backward pass instead of stored —
     # per-layer residual memory drops from O(E·d) to O(1)
+    # (bf16 gathers with f32 accumulation were tried here and measured
+    # SLOWER — 42.7k vs 45.5k examples/s at 1M edges: the convert feeding
+    # segment_sum keeps the scatter in f32 anyway, and the extra converts
+    # cost more than the halved gather traffic saves. The scatter-add is
+    # the bound; see DESIGN.md round-2 agenda for the block-dense attack.)
     gathered = x[adj.cols] * adj.vals[:, None]
     return jax.ops.segment_sum(
         gathered,
