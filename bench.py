@@ -192,7 +192,10 @@ def main():
     args = ap.parse_args()
 
     data = build_dataset()
-    epochs = 3 if args.quick else 10
+    # enough fused epochs that the single dispatch+sync round trip
+    # (~20 ms through a remote-attached chip) is noise against compute:
+    # at 3 epochs it inflated the per-epoch cost ~40%
+    epochs = 6 if args.quick else 30
     dtype = "float32" if args.f32 else "bfloat16"
     ours = bench_tpu(data, epochs, compute_dtype=dtype)
     if args.skip_baseline:
