@@ -87,10 +87,10 @@ def bench_tpu(data, epochs: int, compute_dtype: str = "float32", batch: int = BA
     else:
         run = make_multi_epoch_fn(model, optimizer, BATCH, n_epochs=epochs)
         p, o, s, loss = run(graph, params, opt_state, state, rng)
-        float(loss)  # compile + warmup
+        float(loss[-1])  # compile + warmup
         t0 = time.perf_counter()
         p, o, s, loss = run(graph, p, o, s, jax.random.PRNGKey(2))
-        float(loss)
+        float(loss[-1])
         dt = time.perf_counter() - t0
     examples = epochs * n_batches * BATCH
     return examples / dt
@@ -165,16 +165,16 @@ def bench_reference_torch_cpu(data, max_batches: int = 30) -> float:
 
 def bench_large(epochs: int = 2, compute_dtype: str = "float32") -> float:
     """Gowalla-class scale (50k users × 100k items × 1M interactions) —
-    exercises the segment (gather + scatter-add) propagation path that
-    production graphs need, with epoch chunking under the runtime watchdog.
-    Prints its own line to stderr."""
+    exercises the bucketed gather-only propagation path (`graph/bucketed.py`)
+    that production graphs need, with epoch chunking under the runtime
+    watchdog. Prints its own line to stderr."""
     from recommendation_tpu.data.synthetic import ArrayInteraction, make_flat_interactions
 
     pairs = make_flat_interactions(50_000, 100_000, 1_000_000, seed=3)
     data = ArrayInteraction(pairs, 50_000, 100_000)
     ex_s = bench_tpu(data, epochs, compute_dtype=compute_dtype, batch=8192)
     print(
-        f"# large-scale (50k x 100k, 1M edges, segment backend): "
+        f"# large-scale (50k x 100k, 1M edges, bucketed backend): "
         f"{ex_s:,.0f} examples/s",
         file=sys.stderr,
     )

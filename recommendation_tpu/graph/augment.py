@@ -13,7 +13,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from recommendation_tpu.graph.device import DeviceAdj, DeviceGraph
+from recommendation_tpu.graph.device import DeviceAdj, DeviceGraph, with_vals
 
 
 def edge_keep_mask(rng: jax.Array, graph: DeviceGraph, drop_rate: float) -> jnp.ndarray:
@@ -35,15 +35,7 @@ def drop_edges(rng: jax.Array, adj: DeviceAdj, drop_rate: float, renormalize: bo
     surviving values are scaled by 1/(1-p), like inverted dropout."""
     keep = jax.random.bernoulli(rng, 1.0 - drop_rate, shape=adj.vals.shape)
     scale = 1.0 if renormalize else 1.0 / max(1.0 - drop_rate, 1e-8)
-    vals = jnp.where(keep, adj.vals * scale, 0.0)
-    dense = None
-    if adj.dense is not None:
-        dense = jnp.zeros_like(adj.dense).at[adj.rows, adj.cols].add(vals)
-    return DeviceAdj(
-        rows=adj.rows, cols=adj.cols, vals=vals, dense=dense,
-        n_rows=adj.n_rows, n_cols=adj.n_cols, backend=adj.backend,
-        compute_dtype=adj.compute_dtype, rows_sorted=adj.rows_sorted,
-    )
+    return with_vals(adj, jnp.where(keep, adj.vals * scale, 0.0))
 
 
 def mask_features(rng: jax.Array, x: jnp.ndarray, mask_rate: float) -> jnp.ndarray:

@@ -1,0 +1,246 @@
+"""Bucketed pull-form (gather-only) sparse propagation — the large-graph
+backend.
+
+Replaces ``torch.sparse.mm`` (`ncl.py:419`, `selfcf.py:479`, ...) in the
+regime where neither the dense-MXU path (adjacency too big to materialize)
+nor the gather+``segment_sum`` path (scatter-add runs at ~1% of HBM peak on
+this TPU — measured 45k examples/s at 1M edges, BASELINE.md) is acceptable.
+
+Design: a *pull-form* CSR. Each destination row pulls its neighbor rows with
+one big gather and reduces them densely on the VPU — **no scatter anywhere**:
+
+  * rows are grouped into buckets by next-power-of-two degree; a bucket is a
+    padded ``[n_rows_b, cap]`` index/value table (padding slots carry
+    ``val == 0`` and point at row 0, contributing nothing). Total padded
+    slots < 2×E, so the gather traffic is within 2× of the COO path's —
+    but the reduction is a dense ``einsum`` instead of a scatter-add;
+  * per-bucket outputs are concatenated and restored to row-id order with a
+    single ``[n_rows, d]`` gather (``gather_pos``; degree-0 rows point at a
+    trailing zeros row);
+  * the backward pass would be a scatter under autodiff (the VJP of gather),
+    so ``bucketed_matmul`` carries a **custom VJP that pulls through the
+    prebuilt transpose**: d/dx (A@x)ᵀg = Aᵀg — both passes are gather-only.
+  * edge values are refreshable **on device** (``refresh_vals``): every slot
+    records the position of its edge in the owning COO array, so mask-based
+    augmentation (`univariate/sept.py:53-61` semantics, done on-device in
+    ``graph/augment.py``) only re-gathers a 1-D values vector — the index
+    structure is static, jit-stable.
+
+Gradients do NOT flow to the edge values (they are normalization constants /
+dropout masks in every model family, never parameters — GAT's learned
+attention uses ``segment_softmax``, not this op).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MIN_CAP = 4  # smallest bucket width (bounds tiny-row padding)
+CAP_STEP = 4  # caps are multiples of this up to CAP_POW2_ABOVE, pow2 beyond
+CAP_POW2_ABOVE = 128  # hub tail rows are few; pow2 caps bound bucket count
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["idx", "val", "edge"],
+    meta_fields=["cap"],
+)
+@dataclasses.dataclass
+class Bucket:
+    """Padded neighbor table for all rows whose degree rounds up to ``cap``."""
+
+    idx: jnp.ndarray  # i32[nb, cap] source-row ids into x (0 where padded)
+    val: jnp.ndarray  # f32[nb, cap] edge values (0 where padded)
+    edge: jnp.ndarray  # i32[nb, cap] position in the owning COO vals (-1 pad)
+    cap: int
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["buckets", "gather_pos"],
+    meta_fields=["n_rows", "n_cols"],
+)
+@dataclasses.dataclass
+class BucketedCSR:
+    buckets: Tuple[Bucket, ...]
+    gather_pos: jnp.ndarray  # i32[n_rows]: row's position in the concat
+    # outputs; degree-0 rows point at the appended zeros row (== total rows)
+    n_rows: int
+    n_cols: int
+
+
+def _cap_for_degree(deg: np.ndarray, minimum: int) -> np.ndarray:
+    """Bucket cap per row: multiples of CAP_STEP up to CAP_POW2_ABOVE (tight
+    padding where most rows live — 1.20× total slots vs 1.54× for pure pow2
+    on a Gowalla-shaped graph), pow2 beyond (hub rows are few, so coarse caps
+    there keep the bucket count ~40 instead of ~135)."""
+    d = np.maximum(deg, minimum)
+    stepped = (np.ceil(d / CAP_STEP) * CAP_STEP).astype(np.int64)
+    pow2 = (2 ** np.ceil(np.log2(np.maximum(d, 1)))).astype(np.int64)
+    return np.where(d <= CAP_POW2_ABOVE, stepped, pow2)
+
+
+def build_bucketed(
+    rows: np.ndarray,
+    cols: np.ndarray,
+    vals: Optional[np.ndarray],
+    n_rows: int,
+    n_cols: int,
+    edge_ids: Optional[np.ndarray] = None,
+    min_cap: int = MIN_CAP,
+) -> BucketedCSR:
+    """Host-side one-shot builder from COO arrays (any order, padding rows
+    with ``val == 0`` welcome — they land in row-0's bucket and contribute 0).
+
+    ``edge_ids[k]`` is the position edge ``k`` occupies in the COO values
+    vector that :func:`refresh_vals` will re-gather from (defaults to ``k``).
+    ``vals`` may be None for a structure-only template (val tables zeroed).
+    """
+    rows = np.asarray(rows, dtype=np.int64)
+    cols = np.asarray(cols, dtype=np.int64)
+    e = len(rows)
+    if edge_ids is None:
+        edge_ids = np.arange(e, dtype=np.int64)
+    order = np.argsort(rows, kind="stable")
+    r = rows[order]
+    c = cols[order].astype(np.int32)
+    v = None if vals is None else np.asarray(vals, np.float32)[order]
+    eid = np.asarray(edge_ids, np.int64)[order].astype(np.int32)
+
+    deg = np.bincount(r, minlength=n_rows).astype(np.int64)
+    indptr = np.concatenate([[0], np.cumsum(deg)])
+    caps_per_row = _cap_for_degree(deg, min_cap)
+
+    buckets = []
+    total_rows = 0
+    gather_pos = np.zeros(n_rows, dtype=np.int64)
+    nonzero = deg > 0
+    for cap in np.unique(caps_per_row[nonzero]):
+        cap = int(cap)
+        rows_in = np.where(nonzero & (caps_per_row == cap))[0]
+        nb = len(rows_in)
+        lens = deg[rows_in]
+        starts = indptr[rows_in]
+        total = int(lens.sum())
+        # flat (bucket-row, slot) coordinates for every real edge
+        offs = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(lens) - lens, lens
+        )
+        src = np.repeat(starts, lens) + offs
+        dst_row = np.repeat(np.arange(nb, dtype=np.int64), lens)
+
+        idx = np.zeros((nb, cap), dtype=np.int32)
+        val = np.zeros((nb, cap), dtype=np.float32)
+        edge = np.full((nb, cap), -1, dtype=np.int32)
+        idx[dst_row, offs] = c[src]
+        if v is not None:
+            val[dst_row, offs] = v[src]
+        edge[dst_row, offs] = eid[src]
+        buckets.append(
+            Bucket(idx=jnp.asarray(idx), val=jnp.asarray(val), edge=jnp.asarray(edge), cap=cap)
+        )
+        gather_pos[rows_in] = total_rows + np.arange(nb)
+        total_rows += nb
+    gather_pos[~nonzero] = total_rows  # the appended zeros row
+    return BucketedCSR(
+        buckets=tuple(buckets),
+        gather_pos=jnp.asarray(gather_pos.astype(np.int32)),
+        n_rows=n_rows,
+        n_cols=n_cols,
+    )
+
+
+def refresh_vals(csr: BucketedCSR, coo_vals: jnp.ndarray) -> BucketedCSR:
+    """New BucketedCSR with values re-gathered from a (device) COO values
+    vector — the augmentation path. Index structure untouched."""
+    n = coo_vals.shape[0]
+
+    def refill(b: Bucket) -> Bucket:
+        safe = jnp.clip(b.edge, 0, n - 1)
+        val = jnp.where(b.edge >= 0, coo_vals[safe], 0.0)
+        return Bucket(idx=b.idx, val=val, edge=b.edge, cap=b.cap)
+
+    return BucketedCSR(
+        buckets=tuple(refill(b) for b in csr.buckets),
+        gather_pos=csr.gather_pos,
+        n_rows=csr.n_rows,
+        n_cols=csr.n_cols,
+    )
+
+
+def map_vals(csr: BucketedCSR, fn) -> BucketedCSR:
+    """Apply ``fn`` to every bucket's value table (e.g. binarization)."""
+    return BucketedCSR(
+        buckets=tuple(
+            Bucket(idx=b.idx, val=jnp.where(b.edge >= 0, fn(b.val), 0.0), edge=b.edge, cap=b.cap)
+            for b in csr.buckets
+        ),
+        gather_pos=csr.gather_pos,
+        n_rows=csr.n_rows,
+        n_cols=csr.n_cols,
+    )
+
+
+def pull(csr: BucketedCSR, x: jnp.ndarray, compute_dtype: str = "float32") -> jnp.ndarray:
+    """Forward pull ``A @ x`` (gather + dense per-bucket reduction).
+
+    The gather always runs in f32: sub-32-bit row gathers hit a slow TPU
+    path (measured ON-CHIP at 2M edges, d=64: bf16 pull 36 ms vs f32 pull
+    8.2 ms — the opposite of the dense-matmul path, where bf16 halves HBM
+    traffic). ``compute_dtype`` is accepted for API symmetry with the dense
+    backend but deliberately ignored here."""
+    del compute_dtype  # see docstring — f32 gather is the fast path on TPU
+    d = x.shape[1]
+    xd = x.astype(jnp.float32)
+    outs = []
+    for b in csr.buckets:
+        g = xd[b.idx]  # [nb, cap, d] gather — the traffic
+        # axis-reduce beats einsum here (~7% on-chip): XLA fuses the
+        # val-broadcast multiply into the reduce's input, while the batched
+        # matvec einsum materializes its operand separately
+        outs.append(jnp.sum(g * b.val[:, :, None], axis=1))
+    zero = jnp.zeros((1, d), dtype=jnp.float32)
+    concat = jnp.concatenate(outs + [zero], axis=0)
+    return concat[csr.gather_pos]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def bucketed_matmul(
+    fwd: BucketedCSR, bwd: BucketedCSR, x: jnp.ndarray, compute_dtype: str = "float32"
+) -> jnp.ndarray:
+    """``A @ x`` where ``fwd`` encodes A and ``bwd`` encodes Aᵀ.
+
+    Custom VJP: the backward pass pulls the output cotangent through ``bwd``
+    (grad_x = Aᵀ g), so training never emits a scatter. Values receive zero
+    cotangents (non-differentiable by design, see module docstring)."""
+    return pull(fwd, x, compute_dtype)
+
+
+def _float0_zeros(tree):
+    """Zero cotangents for a pytree that mixes float tables (zeros) and
+    integer index tables (float0, the tangent dtype JAX requires for ints)."""
+    return jax.tree_util.tree_map(
+        lambda a: np.zeros(a.shape, jax.dtypes.float0)
+        if jnp.issubdtype(a.dtype, jnp.integer)
+        else jnp.zeros_like(a),
+        tree,
+    )
+
+
+def _mm_fwd(fwd, bwd, x, compute_dtype):
+    return pull(fwd, x, compute_dtype), (fwd, bwd)
+
+
+def _mm_bwd(compute_dtype, res, g):
+    fwd, bwd = res
+    grad_x = pull(bwd, g, compute_dtype).astype(g.dtype)
+    return (_float0_zeros(fwd), _float0_zeros(bwd), grad_x)
+
+
+bucketed_matmul.defvjp(_mm_fwd, _mm_bwd)

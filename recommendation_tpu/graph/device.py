@@ -35,7 +35,7 @@ def _round_up(x: int, m: int) -> int:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["rows", "cols", "vals", "dense"],
+    data_fields=["rows", "cols", "vals", "dense", "pull", "pull_t"],
     meta_fields=["n_rows", "n_cols", "backend", "compute_dtype", "rows_sorted"],
 )
 @dataclasses.dataclass
@@ -48,6 +48,9 @@ class DeviceAdj:
     ``compute_dtype`` 'bfloat16' runs the dense propagation matmul in the
     MXU's native bf16 (f32 accumulate) — ~2× memory bandwidth; values stay
     stored f32.
+    ``pull``/``pull_t`` are the gather-only tables of A and Aᵀ when the
+    bucketed backend is active (`graph/bucketed.py`); their slot→edge maps
+    point into ``vals`` positions, so value-level augmentation stays valid.
     """
 
     rows: jnp.ndarray  # i32[E_pad], sorted ascending
@@ -56,16 +59,23 @@ class DeviceAdj:
     dense: Optional[jnp.ndarray]  # f32[n_rows, n_cols] or None
     n_rows: int
     n_cols: int
-    backend: str  # 'dense' | 'segment' | 'pallas'
+    backend: str  # 'dense' | 'bucketed' | 'segment' | 'pallas'
     compute_dtype: str = "float32"
     rows_sorted: bool = False  # True -> segment_sum may use the sorted path
+    pull: Optional["BucketedCSR"] = None  # bucketed tables of A
+    pull_t: Optional["BucketedCSR"] = None  # bucketed tables of Aᵀ
 
     @property
     def shape(self):
         return (self.n_rows, self.n_cols)
 
     def transpose(self) -> "DeviceAdj":
-        order = jnp.argsort(self.cols)
+        # Only re-sort the COO when no bucketed tables are attached: their
+        # slot→edge maps index into ``vals`` positions and must stay aligned.
+        if self.pull is not None or self.pull_t is not None:
+            order = jnp.arange(self.vals.shape[0])
+        else:
+            order = jnp.argsort(self.cols)
         return DeviceAdj(
             rows=self.cols[order],
             cols=self.rows[order],
@@ -76,6 +86,8 @@ class DeviceAdj:
             backend=self.backend,
             compute_dtype=self.compute_dtype,
             rows_sorted=False,
+            pull=self.pull_t,
+            pull_t=self.pull,
         )
 
 
@@ -93,7 +105,7 @@ POS_TABLE_MAX_ELEMENTS = 64 * 1024 * 1024
 def choose_backend(n_rows: int, n_cols: int, requested: str = "auto") -> str:
     if requested != "auto":
         return requested
-    return "dense" if n_rows * n_cols <= DENSE_MAX_ELEMENTS else "segment"
+    return "dense" if n_rows * n_cols <= DENSE_MAX_ELEMENTS else "bucketed"
 
 
 def from_scipy(
@@ -116,6 +128,16 @@ def from_scipy(
     dense = None
     if backend == "dense":
         dense = jnp.asarray(np.asarray(mat.todense(), dtype=np.float32))
+    pull = pull_t = None
+    if backend == "bucketed":
+        from recommendation_tpu.graph.bucketed import build_bucketed
+
+        # slot→edge maps index into the padded COO vals positions, so
+        # value-level augmentation (`with_vals`) refreshes both directions
+        # from one [E_pad] vector
+        eids = np.arange(e_pad, dtype=np.int64)
+        pull = build_bucketed(rows, cols, vals, n_rows, n_cols, edge_ids=eids)
+        pull_t = build_bucketed(cols, rows, vals, n_cols, n_rows, edge_ids=eids)
     return DeviceAdj(
         rows=jnp.asarray(rows),
         cols=jnp.asarray(cols),
@@ -126,6 +148,33 @@ def from_scipy(
         backend=backend,
         compute_dtype=compute_dtype,
         rows_sorted=True,
+        pull=pull,
+        pull_t=pull_t,
+    )
+
+
+def with_vals(adj: DeviceAdj, vals: jnp.ndarray) -> DeviceAdj:
+    """Same sparsity pattern with new edge values (aligned to ``adj.vals``
+    positions) — the single device-side hook every value-level augmentation
+    goes through. Rebuilds the dense materialization and/or refreshes the
+    bucketed tables as the backend requires."""
+    from recommendation_tpu.graph.bucketed import refresh_vals
+
+    dense = None
+    if adj.dense is not None:
+        dense = jnp.zeros_like(adj.dense).at[adj.rows, adj.cols].add(vals)
+    return DeviceAdj(
+        rows=adj.rows,
+        cols=adj.cols,
+        vals=vals,
+        dense=dense,
+        n_rows=adj.n_rows,
+        n_cols=adj.n_cols,
+        backend=adj.backend,
+        compute_dtype=adj.compute_dtype,
+        rows_sorted=adj.rows_sorted,
+        pull=None if adj.pull is None else refresh_vals(adj.pull, vals),
+        pull_t=None if adj.pull_t is None else refresh_vals(adj.pull_t, vals),
     )
 
 
@@ -133,17 +182,7 @@ def binarized(adj: DeviceAdj) -> DeviceAdj:
     """Same sparsity pattern with all values 1 — the RAW adjacency. Used for
     GIN's unweighted neighbor sums and for bug-compatible modes of reference
     scripts that skip degree normalization (e.g. `directau.py:132-141`)."""
-    return DeviceAdj(
-        rows=adj.rows,
-        cols=adj.cols,
-        vals=(adj.vals > 0).astype(jnp.float32),
-        dense=None if adj.dense is None else (adj.dense > 0).astype(jnp.float32),
-        n_rows=adj.n_rows,
-        n_cols=adj.n_cols,
-        backend=adj.backend,
-        compute_dtype=adj.compute_dtype,
-        rows_sorted=adj.rows_sorted,
-    )
+    return with_vals(adj, (adj.vals > 0).astype(jnp.float32))
 
 
 def densify(adj: DeviceAdj) -> jnp.ndarray:
@@ -265,6 +304,28 @@ class DeviceGraph:
         else:
             self.user_pos_mask = jnp.zeros((1, 1), jnp.int8)
 
+        # Structure-only bucketed templates over the STATIC bipartite COO
+        # pattern (rows = [u; i+U], cols = [i+U; u]) so on-device
+        # re-normalization under an edge keep-mask (`normalized_bipartite`)
+        # can refresh values into gather-only pull tables without any host
+        # work — augmentation stays jit-stable on the bucketed backend.
+        self._bipartite_pull_tpl = None
+        self._bipartite_pull_t_tpl = None
+        if self.backend == "bucketed":
+            from recommendation_tpu.graph.bucketed import build_bucketed
+
+            bi_rows = np.concatenate([users, items + self.n_users])
+            bi_cols = np.concatenate([items + self.n_users, users])
+            eids = np.arange(2 * e_pad, dtype=np.int64)
+            self._bipartite_pull_tpl = build_bucketed(
+                bi_rows, bi_cols, None, self.n_nodes, self.n_nodes, edge_ids=eids
+            )
+            # the pattern is symmetric, but slot→edge maps differ (Aᵀ pulls
+            # the opposite direction's value positions), so build both
+            self._bipartite_pull_t_tpl = build_bucketed(
+                bi_cols, bi_rows, None, self.n_nodes, self.n_nodes, edge_ids=eids
+            )
+
         # Dense sym-normalized interaction block R̂ = D_u^-1/2 R D_i^-1/2 for
         # the bipartite-block propagation path: the square adjacency is
         # block-anti-diagonal (A = [[0, R̂], [R̂ᵀ, 0]]), so Â @ [U; I] =
@@ -288,6 +349,7 @@ class DeviceGraph:
         "norm_adj", "norm_adj_selfloops", "interaction_norm_dense",
         "user_positives", "user_degrees", "csr_indptr", "csr_items",
         "user_pos_mask", "user_fallback_neg",
+        "_bipartite_pull_tpl", "_bipartite_pull_t_tpl",
     )
     _META_FIELDS = (
         "n_users", "n_items", "n_nodes", "n_edges", "max_degree", "backend",
@@ -335,6 +397,12 @@ class DeviceGraph:
                 .at[rows, cols]
                 .add(both_vals)
             )
+        pull = pull_t = None
+        if self._bipartite_pull_tpl is not None:
+            from recommendation_tpu.graph.bucketed import refresh_vals
+
+            pull = refresh_vals(self._bipartite_pull_tpl, both_vals)
+            pull_t = refresh_vals(self._bipartite_pull_t_tpl, both_vals)
         return DeviceAdj(
             rows=rows,
             cols=cols,
@@ -344,4 +412,6 @@ class DeviceGraph:
             n_cols=self.n_nodes,
             backend=self.backend,
             compute_dtype=self.compute_dtype,
+            pull=pull,
+            pull_t=pull_t,
         )

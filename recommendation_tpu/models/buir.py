@@ -54,14 +54,10 @@ class BUIR(Model):
         rate = jax.random.uniform(k_rate) * self.drop_rate
         keep = jax.random.bernoulli(k_drop, 1.0 - rate, graph.norm_adj.vals.shape)
         adj = graph.norm_adj
-        vals = jnp.where(keep, adj.vals / jnp.maximum(1.0 - rate, 1e-8), 0.0)
-        dense = None
-        if adj.dense is not None:
-            dense = jnp.zeros_like(adj.dense).at[adj.rows, adj.cols].add(vals)
-        dropped = type(adj)(
-            rows=adj.rows, cols=adj.cols, vals=vals, dense=dense,
-            n_rows=adj.n_rows, n_cols=adj.n_cols, backend=adj.backend,
-            compute_dtype=adj.compute_dtype, rows_sorted=adj.rows_sorted,
+        from recommendation_tpu.graph.device import with_vals
+
+        dropped = with_vals(
+            adj, jnp.where(keep, adj.vals / jnp.maximum(1.0 - rate, 1e-8), 0.0)
         )
         return lightgcn_propagate(user_emb, item_emb, dropped, self.n_layers)
 

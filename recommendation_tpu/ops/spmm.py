@@ -10,6 +10,10 @@ with TPU-native paths (SURVEY.md §2.4 rows 1-2):
     On TPU a dense matmul runs at ~200+ TFLOP/s (bf16) while scatter-add runs
     at VPU/memory speed, so for adjacencies up to a few hundred MB the dense
     path is the fastest possible propagation. Deliberately un-CUDA-shaped.
+  * **bucketed** — gather-only pull-form CSR (`graph/bucketed.py`): degree-
+    bucketed padded neighbor tables + dense reductions, custom VJP through
+    the prebuilt transpose. The large-graph default: no scatter in either
+    pass (scatter-add measured ~1% of HBM peak on this chip — BASELINE.md).
   * **segment** — gather + ``segment_sum`` over sorted COO. General fallback,
     any size, fuses with the value computation under XLA.
   * **pallas** — reserved for a hand-tiled kernel; currently routes to the
@@ -48,6 +52,12 @@ def _segment_matmul(adj: DeviceAdj, x: jnp.ndarray) -> jnp.ndarray:
 
 def adj_matmul(adj: DeviceAdj, x: jnp.ndarray) -> jnp.ndarray:
     """Compute ``adj @ x`` with the adjacency's backend. x: f32[n_cols, d]."""
+    if adj.backend == "bucketed" and adj.pull is not None:
+        from recommendation_tpu.graph.bucketed import bucketed_matmul
+
+        # gather-only pull-form propagation; the custom VJP pulls through
+        # the prebuilt transpose, so backward is scatter-free too
+        return bucketed_matmul(adj.pull, adj.pull_t, x, adj.compute_dtype)
     if adj.backend == "dense" and adj.dense is not None:
         if adj.compute_dtype == "bfloat16":
             # MXU-native bf16 inputs, f32 accumulate: ~2x HBM bandwidth on

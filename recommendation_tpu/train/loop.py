@@ -219,11 +219,17 @@ def make_multi_epoch_fn(
     """N full epochs in ONE device execution (outer scan over epochs).
 
     Removes the per-epoch dispatch round trip — on remote-attached devices
-    that RTT (~70-80 ms) can rival the epoch's compute. No eval between
-    epochs, so this is for benchmark/burn-in phases; the trainer's per-epoch
-    loop remains the default. Returns
-    fn(graph, params, opt_state, state, rng) -> (params, opt_state, state,
-    mean_loss over all steps)."""
+    that RTT (~70-80 ms) can rival the epoch's compute. Used by the trainer
+    to fuse ``eval.interval`` epochs per device call (the reference pays a
+    full Python batch loop per epoch instead, `selfcf.py:547-563`) and by
+    the bench's steady-state measurement.
+
+    Returns fn(graph, params, opt_state, state, rng) -> (params, opt_state,
+    state, per_epoch_losses[n_epochs]). ``rng`` may be a single PRNG key
+    (split internally) or a stacked [n_epochs] array of per-epoch keys —
+    passing the exact keys the trainer's unfused loop would have used makes
+    the fused path bit-identical to N separate `make_epoch_fn` calls (the
+    epoch body is the same code; tests/test_train.py pins this)."""
 
     def loss_wrapper(params, state, batch, graph, rng):
         loss, new_state = model.loss(params, state, batch, graph, rng)
@@ -262,13 +268,23 @@ def make_multi_epoch_fn(
             (params, opt_state, state), losses = jax.lax.scan(
                 step, (params, opt_state, state), (users, items, neg_keys, weights, step_keys)
             )
-            return (params, opt_state, state), jnp.mean(losses)
+            # same finite-masked mean as make_epoch_fn so the fused path is
+            # bit-identical to N separate epoch calls
+            finite = jnp.isfinite(losses)
+            mean_loss = jnp.sum(jnp.where(finite, losses, 0.0)) / jnp.maximum(
+                jnp.sum(finite), 1
+            )
+            mean_loss = jnp.where(jnp.any(finite), mean_loss, jnp.nan)
+            return (params, opt_state, state), mean_loss
 
-        epoch_rngs = jax.random.split(rng, n_epochs)
+        if rng.ndim == 2:  # stacked per-epoch keys from the trainer
+            epoch_rngs = rng
+        else:
+            epoch_rngs = jax.random.split(rng, n_epochs)
         (params, opt_state, state), epoch_losses = jax.lax.scan(
             one_epoch, (params, opt_state, state), epoch_rngs
         )
-        return params, opt_state, state, jnp.mean(epoch_losses)
+        return params, opt_state, state, epoch_losses
 
     return jax.jit(run)
 

@@ -28,7 +28,7 @@ def test_lightgcn_propagation_matches_torch(tiny_data):
     ue = rng.normal(size=(tiny_data.user_num, d)).astype(np.float32)
     ie = rng.normal(size=(tiny_data.item_num, d)).astype(np.float32)
 
-    for backend in ("dense", "segment"):
+    for backend in ("dense", "segment", "bucketed"):
         adj = from_scipy(tiny_data.norm_adj, backend=backend)
         got_u, got_i = lightgcn_propagate(jnp.asarray(ue), jnp.asarray(ie), adj, n_layers=3)
 

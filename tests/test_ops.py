@@ -19,7 +19,7 @@ def test_adj_matmul_backends_match_scipy():
     a = _random_sparse(64, 96)
     x = np.random.default_rng(0).normal(size=(96, 16)).astype(np.float32)
     expected = a @ x
-    for backend in ("dense", "segment"):
+    for backend in ("dense", "segment", "bucketed"):
         adj = from_scipy(a, backend=backend)
         out = np.asarray(adj_matmul(adj, jnp.asarray(x)))
         assert np.allclose(out, expected, atol=1e-4), backend

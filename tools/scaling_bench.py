@@ -71,10 +71,10 @@ def main():
         opt_state = opt.init(params)
         run = make_multi_epoch_fn(model, opt, 2048, n_epochs=epochs)
         p, o, s, loss = run(graph, params, opt_state, state, jax.random.PRNGKey(1))
-        float(loss)  # compile+warm
+        float(loss[-1])  # compile+warm
         t0 = time.perf_counter()
         p, o, s, loss = run(graph, p, o, s, jax.random.PRNGKey(2))
-        float(loss)
+        float(loss[-1])
         dt = time.perf_counter() - t0
         n_batches = -(-graph.n_edges // 2048)
         ex_s = epochs * n_batches * 2048 / dt
