@@ -229,7 +229,7 @@ def make_multi_epoch_fn(
     (split internally) or a stacked [n_epochs] array of per-epoch keys —
     passing the exact keys the trainer's unfused loop would have used makes
     the fused path bit-identical to N separate `make_epoch_fn` calls (the
-    epoch body is the same code; tests/test_train.py pins this)."""
+    epoch body is the same code; tests/test_train_extras.py pins this)."""
 
     def loss_wrapper(params, state, batch, graph, rng):
         loss, new_state = model.loss(params, state, batch, graph, rng)

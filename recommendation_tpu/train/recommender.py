@@ -30,7 +30,12 @@ from recommendation_tpu.data.interaction import Interaction
 from recommendation_tpu.evalx.ranking import RankingResult, evaluate_ranking
 from recommendation_tpu.graph.device import DeviceGraph
 from recommendation_tpu.models.base import Model
-from recommendation_tpu.train.loop import make_epoch_fn, make_optimizer, tree_copy
+from recommendation_tpu.train.loop import (
+    make_epoch_fn,
+    make_multi_epoch_fn,
+    make_optimizer,
+    tree_copy,
+)
 from recommendation_tpu.utils.logging import Log
 
 
@@ -95,6 +100,7 @@ class GraphRecommender:
             self.optimizer = self.model.make_optimizer(self.config) or make_optimizer(self.config)
         self.opt_state = self.optimizer.init(self.params)
         self._epoch_fn = make_epoch_fn(self.model, self.optimizer, self.batch_size)
+        self._fused_fns: Dict[int, object] = {}
         self._rng = jax.random.PRNGKey(int(self.config.get("seed", 0)) + 1)
         self.start_epoch = 0
         self._ckpt = None
@@ -116,45 +122,117 @@ class GraphRecommender:
                     self.start_epoch = int(restored["epoch"]) + 1
                     self.log.add(f"resumed from checkpoint at epoch {restored['epoch']}")
 
+    def _can_fuse_epochs(self) -> bool:
+        """True when a block of ``eval.interval`` epochs can run as ONE device
+        execution (`make_multi_epoch_fn`): no per-epoch HOST work is active —
+        ``epoch_begin`` is the base no-op, no bold-driver LR injection, no
+        convergence check (which must see each epoch's loss before the next
+        one runs). Gated additionally on total scan length so one device
+        execution stays under the runtime watchdog. The fused path draws the
+        exact per-epoch keys the unfused loop would, so the two paths are
+        numerically identical (pinned by tests/test_train_extras.py)."""
+        from recommendation_tpu.models.base import Model
+
+        mode = self.config.get("train.fuse_epochs", "auto")
+        if mode is False or str(mode).lower() == "false":
+            return False
+        n_batches = -(-self.graph.n_edges // self.batch_size)
+        max_steps = int(self.config.get("train.max_fused_steps", 1024))
+        return (
+            self.eval_interval > 1
+            and type(self.model).epoch_begin is Model.epoch_begin
+            and self._bold is None
+            and self.config.get("convergence.eps", None) is None
+            and n_batches * self.eval_interval <= max_steps
+        )
+
+    def _fused_fn(self, n_epochs: int):
+        if n_epochs not in self._fused_fns:
+            self._fused_fns[n_epochs] = make_multi_epoch_fn(
+                self.model, self.optimizer, self.batch_size, n_epochs=n_epochs
+            )
+        return self._fused_fns[n_epochs]
+
     def train(self):
         bad_epochs = 0
         last_loss = None
         conv_eps = self.config.get("convergence.eps", None)
-        for epoch in range(self.start_epoch, self.max_epoch):
-            t0 = time.perf_counter()
-            self._rng, ek, tk = jax.random.split(self._rng, 3)
-            self.state = self.model.epoch_begin(
-                self.params, self.state, self.graph, ek, epoch
-            )
-            self.params, self.opt_state, self.state, loss = self._epoch_fn(
-                self.graph, self.params, self.opt_state, self.state, tk
-            )
-            loss = float(loss)
-            dt = time.perf_counter() - t0
-            if math.isnan(loss):
-                self.log.add(f"epoch {epoch}: loss is NaN — aborting (diffnet.py:782-786 guard)")
-                break
-            examples = -(-self.graph.n_edges // self.batch_size) * self.batch_size
-            self.log.add(
-                f"epoch {epoch}: loss={loss:.5f} ({dt:.2f}s, "
-                f"{examples / dt:,.0f} examples/s)"
-            )
-            # convergence check (`univariate/diffnet.py:782-802` semantics:
-            # |delta loss| < eps stops; otherwise adapt the learning rate)
-            if last_loss is not None and conv_eps is not None:
-                if abs(last_loss - loss) < float(conv_eps):
-                    self.log.add(
-                        f"converged at epoch {epoch} (|Δloss| < {conv_eps})"
-                    )
-                    self.fast_evaluation(epoch)
-                    break
-            if self._bold is not None:
-                new_lr = self._bold.update(epoch, loss)
-                self.opt_state.hyperparams["learning_rate"] = jnp.asarray(
-                    new_lr, dtype=jnp.float32
+        fuse = self._can_fuse_epochs()
+        examples = -(-self.graph.n_edges // self.batch_size) * self.batch_size
+        epoch = self.start_epoch
+        aborted = False
+        while epoch < self.max_epoch and not aborted:
+            # epochs up to and including the next eval boundary
+            iv = self.eval_interval
+            next_eval = min((epoch // iv) * iv + iv - 1, self.max_epoch - 1)
+            block = next_eval - epoch + 1
+            if fuse and block > 1:
+                t0 = time.perf_counter()
+                keys = []
+                for _ in range(block):
+                    # identical key sequence to the unfused loop below
+                    self._rng, _ek, tk = jax.random.split(self._rng, 3)
+                    keys.append(tk)
+                self.params, self.opt_state, self.state, losses = self._fused_fn(block)(
+                    self.graph, self.params, self.opt_state, self.state,
+                    jnp.stack(keys),
                 )
-                self.log.add(f"  bold-driver lr -> {new_lr:.6f}")
-            last_loss = loss
+                losses = np.asarray(losses).tolist()  # one host transfer
+                dt = (time.perf_counter() - t0) / block
+                for k, loss in enumerate(losses):
+                    if math.isnan(loss):
+                        # block-granular abort: the per-step NaN guard already
+                        # kept non-finite updates out of the tables
+                        self.log.add(
+                            f"epoch {epoch + k}: loss is NaN — aborting "
+                            f"(diffnet.py:782-786 guard)"
+                        )
+                        aborted = True
+                        break
+                    self.log.add(
+                        f"epoch {epoch + k}: loss={loss:.5f} ({dt:.2f}s, "
+                        f"{examples / dt:,.0f} examples/s, fused x{block})"
+                    )
+                if aborted:
+                    break
+                last_loss = losses[-1]
+                epoch = next_eval
+            else:
+                t0 = time.perf_counter()
+                self._rng, ek, tk = jax.random.split(self._rng, 3)
+                self.state = self.model.epoch_begin(
+                    self.params, self.state, self.graph, ek, epoch
+                )
+                self.params, self.opt_state, self.state, loss = self._epoch_fn(
+                    self.graph, self.params, self.opt_state, self.state, tk
+                )
+                loss = float(loss)
+                dt = time.perf_counter() - t0
+                if math.isnan(loss):
+                    self.log.add(
+                        f"epoch {epoch}: loss is NaN — aborting (diffnet.py:782-786 guard)"
+                    )
+                    break
+                self.log.add(
+                    f"epoch {epoch}: loss={loss:.5f} ({dt:.2f}s, "
+                    f"{examples / dt:,.0f} examples/s)"
+                )
+                # convergence check (`univariate/diffnet.py:782-802` semantics:
+                # |delta loss| < eps stops; otherwise adapt the learning rate)
+                if last_loss is not None and conv_eps is not None:
+                    if abs(last_loss - loss) < float(conv_eps):
+                        self.log.add(
+                            f"converged at epoch {epoch} (|Δloss| < {conv_eps})"
+                        )
+                        self.fast_evaluation(epoch)
+                        break
+                if self._bold is not None:
+                    new_lr = self._bold.update(epoch, loss)
+                    self.opt_state.hyperparams["learning_rate"] = jnp.asarray(
+                        new_lr, dtype=jnp.float32
+                    )
+                    self.log.add(f"  bold-driver lr -> {new_lr:.6f}")
+                last_loss = loss
             if (epoch + 1) % self.eval_interval == 0 or epoch == self.max_epoch - 1:
                 improved = self.fast_evaluation(epoch)
                 bad_epochs = 0 if improved else bad_epochs + 1
@@ -171,6 +249,7 @@ class GraphRecommender:
                 if self.patience is not None and bad_epochs > int(self.patience):
                     self.log.add(f"early stop at epoch {epoch} (patience {self.patience})")
                     break
+            epoch += 1
         if self.best_params is not None:
             self.params, self.state = self.best_params, self.best_state
 

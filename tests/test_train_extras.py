@@ -94,3 +94,66 @@ def test_chunked_epoch_matches_single_scan(tiny_data, tiny_graph):
         outs.append((np.asarray(p["user_emb"]), float(loss)))
     assert abs(outs[0][1] - outs[1][1]) < 1e-6
     assert np.allclose(outs[0][0], outs[1][0], atol=1e-6)
+
+
+def test_fused_trainer_matches_unfused(tiny_data, tiny_graph):
+    """eval.interval epochs fused into ONE device call must be numerically
+    identical to the per-epoch loop (same key sequence, same epoch body)."""
+    results = {}
+    for fuse in (False, "auto"):
+        config = default_config(**{
+            "max.epoch": 5, "batch.size": 512, "embedding.size": 8,
+            "item.ranking.topN": [10], "eval.interval": 3,
+            "train.fuse_epochs": fuse,
+        })
+        rec = GraphRecommender(
+            LightGCN(config), tiny_data, config, graph=tiny_graph, log=Log(echo=False)
+        )
+        rec.build()
+        assert rec._can_fuse_epochs() == (fuse == "auto")
+        rec.train()
+        results[fuse] = rec
+    fused, unfused = results["auto"], results[False]
+    assert any("fused x3" in l for l in fused.log.contents())
+    # eval cadence identical: evals at epochs 2 and 4
+    assert [h["epoch"] for h in fused.history] == [h["epoch"] for h in unfused.history]
+    for k in fused.params:
+        assert np.allclose(
+            np.asarray(fused.params[k]), np.asarray(unfused.params[k]), atol=1e-6
+        ), k
+    for h_f, h_u in zip(fused.history, unfused.history):
+        for key in h_f:
+            assert abs(h_f[key] - h_u[key]) < 1e-6, key
+
+
+def test_fuse_gates(tiny_data, tiny_graph):
+    """Per-epoch host work (bold driver, convergence check, a real
+    epoch_begin) must disable fusing."""
+    def make(extra):
+        config = default_config(**{
+            "max.epoch": 4, "batch.size": 512, "embedding.size": 8,
+            "item.ranking.topN": [10], "eval.interval": 2, **extra,
+        })
+        rec = GraphRecommender(
+            LightGCN(config), tiny_data, config, graph=tiny_graph, log=Log(echo=False)
+        )
+        rec.build()
+        return rec
+
+    assert make({})._can_fuse_epochs()
+    assert not make({"adaptive.lr": True})._can_fuse_epochs()
+    assert not make({"convergence.eps": 1e-9})._can_fuse_epochs()
+    assert not make({"train.fuse_epochs": False})._can_fuse_epochs()
+    assert not make({"train.max_fused_steps": 1})._can_fuse_epochs()
+
+    # a model with a real epoch_begin (NCL runs k-means there)
+    from recommendation_tpu.models.ncl import NCL
+    config = default_config(**{
+        "max.epoch": 4, "batch.size": 512, "embedding.size": 8,
+        "item.ranking.topN": [10], "eval.interval": 2,
+    })
+    rec = GraphRecommender(
+        NCL(config), tiny_data, config, graph=tiny_graph, log=Log(echo=False)
+    )
+    rec.build()
+    assert not rec._can_fuse_epochs()
