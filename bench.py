@@ -96,6 +96,46 @@ def bench_tpu(data, epochs: int, compute_dtype: str = "float32", batch: int = BA
     return examples / dt
 
 
+# TPU v5e (this chip, "TPU v5 lite") public peaks — the roofline anchors.
+PEAK_BF16_FLOPS = 197e12  # MXU, bf16 with f32 accumulate
+HBM_BYTES_PER_S = 819e9
+
+
+def roofline_main(data, examples_per_s: float, emb: int, layers: int, batch: int):
+    """Model-FLOPs utilization + %-of-SOL for the dense bipartite-block
+    LightGCN step (the main metric's configuration).
+
+    Per step the propagation runs ``layers`` rounds of TWO rectangular
+    matmuls (R̂[U,I] @ item-emb and R̂ᵀ @ user-emb — `graph/device.py`
+    bipartite-block path) forward, and the custom-free XLA backward adds the
+    same count again (A is constant, so each matmul's VJP is one transposed
+    matmul). Loss/optimizer FLOPs are negligible against these.
+    """
+    u, i, _ = data.training_size()
+    e = len(data.training_data)
+    flops_step = 2 * layers * 2 * (2 * u * i * emb)  # fwd+bwd, 2 matmuls/layer
+    steps_per_s = examples_per_s / batch
+    achieved = flops_step * steps_per_s
+    mfu = achieved / PEAK_BF16_FLOPS
+    # HBM bound: adjacency blocks + both tables + Adam moments touched/step
+    bytes_step = 4 * (2 * u * i + 6 * (u + i) * emb)
+    sol_steps = min(PEAK_BF16_FLOPS / flops_step, HBM_BYTES_PER_S / bytes_step)
+    pct_sol = steps_per_s / sol_steps
+    return {"mfu": round(mfu, 4), "pct_sol": round(pct_sol, 4)}
+
+
+def roofline_large(examples_per_s: float, slots: int, n_nodes: int,
+                   emb: int, layers: int, batch: int):
+    """%-of-SOL for the bucketed gather path: memory-bound by construction.
+    Per pull: idx+val reads (8 B/slot) + gathered rows (4·emb B/slot, f32 —
+    see `graph/bucketed.py` on why not bf16) + output write (4·emb·N).
+    2·layers pulls per step (fwd + VJP-through-transpose bwd)."""
+    bytes_pull = slots * (8 + 4 * emb) + 4 * emb * n_nodes
+    bytes_step = 2 * layers * bytes_pull
+    sol_steps = HBM_BYTES_PER_S / bytes_step
+    return {"pct_sol": round((examples_per_s / batch) / sol_steps, 4)}
+
+
 def bench_reference_torch_cpu(data, max_batches: int = 30) -> float:
     """Reference-shaped hot path: scipy->torch sparse adjacency, K
     propagation rounds of torch.sparse.mm per batch, BPR + L2, Adam, Python
@@ -173,9 +213,19 @@ def bench_large(epochs: int = 2, compute_dtype: str = "float32") -> float:
     pairs = make_flat_interactions(50_000, 100_000, 1_000_000, seed=3)
     data = ArrayInteraction(pairs, 50_000, 100_000)
     ex_s = bench_tpu(data, epochs, compute_dtype=compute_dtype, batch=8192)
+    # padded-slot count of the square bipartite adjacency, for the roofline
+    # (computed analytically from degrees — same formula the builder uses)
+    from recommendation_tpu.graph.bucketed import MIN_CAP, _cap_for_degree
+
+    deg = np.concatenate([
+        np.bincount(pairs[:, 0], minlength=50_000),
+        np.bincount(pairs[:, 1], minlength=100_000),
+    ])
+    slots = int(_cap_for_degree(deg[deg > 0], MIN_CAP).sum())
+    roof = roofline_large(ex_s, slots, 150_000, EMB, LAYERS, 8192)
     print(
         f"# large-scale (50k x 100k, 1M edges, bucketed backend): "
-        f"{ex_s:,.0f} examples/s",
+        f"{ex_s:,.0f} examples/s ({100 * roof['pct_sol']:.1f}% of HBM SOL)",
         file=sys.stderr,
     )
     return ex_s
@@ -209,6 +259,7 @@ def main():
             print(f"baseline measurement failed: {e}", file=sys.stderr)
             ref, vs = None, None
 
+    roof = roofline_main(data, ours, EMB, LAYERS, BATCH)
     print(
         json.dumps(
             {
@@ -216,6 +267,7 @@ def main():
                 "value": round(ours, 1),
                 "unit": "examples/s",
                 "vs_baseline": round(vs, 2) if vs is not None else None,
+                **roof,
             }
         )
     )

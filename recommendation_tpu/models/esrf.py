@@ -9,10 +9,19 @@ REPLACED by user+social / item parts). Three training phases by epoch third
 (`esrf.py:1220-1359`): BPR pretrain → social training (G frozen) →
 adversarial min-max.
 
-Divergences (documented): D and G are updated SIMULTANEOUSLY from one
-combined loss with stop-gradients partitioning the objectives (the reference
-alternates two optimizer steps per batch); G's 5× learning rate is honored
-via an optax.multi_transform partition. The unused ``projection_head``
+Adversarial-phase update rule (``ESRF.alternating_updates``, default True):
+the reference alternates two optimizer steps per batch
+(`esrf.py:1281-1359`: d_loss.backward(retain_graph=True) → d_step →
+g_loss.backward() → g_step). Because the G gradient is taken from the graph
+built BEFORE the D step, both gradients are evaluated at the pre-update
+point — exactly what one combined step computes when the two objectives are
+partitioned by parameter group. The faithful mode therefore reproduces the
+reference's stop-gradient placement: the D objective flows through the
+friend embeddings (`esrf.py:1300-1302` has no detach), and the G objective
+flows through the whole discriminator forward with the D *parameters*
+frozen. ``alternating_updates=False`` selects the simpler variant that
+freezes D *outputs* in the G objective. G's 5× learning rate is honored via
+an optax.multi_transform partition. The unused ``projection_head``
 parameter (`esrf.py:1110`) is not carried.
 """
 
@@ -53,6 +62,7 @@ class ESRF(Model):
         self.segment = int(config.get("ESRF.segment", 100))
         self.max_epoch = int(config.get("max.epoch", 30))
         self.reg_u = float(config.get("reg.lambda", 1e-4))
+        self.alternating = bool(config.get("ESRF.alternating_updates", True))
 
     def make_optimizer(self, config):
         lr = float(config.get("learning.rate", 1e-3))
@@ -152,23 +162,43 @@ class ESRF(Model):
 
         def phase2(_):
             alt = self._generator(params["g"], graph, k_gen)
+            alt_stop = jax.lax.stop_gradient(alt)
             # D objective: alt frozen
-            ue, ie = self._discriminator(
-                params["d"], graph, jax.lax.stop_gradient(alt), is_social=True
-            )
+            ue, ie = self._discriminator(params["d"], graph, alt_stop, is_social=True)
             u = ue[batch.users]
             pos = ie[batch.pos_items]
             neg = ie[batch.neg_items]
             y_ui = jnp.sum(u * pos, axis=1)
-            friends = (alt[batch.users] @ ue) / self.K
-            y_vi_d = jnp.sum(jax.lax.stop_gradient(friends) * pos, axis=1)
+            friends = (alt_stop[batch.users] @ ue) / self.K
+            if self.alternating:
+                # faithful (`esrf.py:1299-1309`): no detach on the friend
+                # embeddings — D's adversarial term shapes its own
+                # embeddings through y_vi as well
+                y_vi_d = jnp.sum(friends * pos, axis=1)
+            else:
+                y_vi_d = jnp.sum(jax.lax.stop_gradient(friends) * pos, axis=1)
             d_loss = self._bpr_sum(u, pos, neg) + self.beta * (
                 -jnp.sum(jnp.log(jax.nn.sigmoid(y_ui - y_vi_d) + 1e-10))
             )
-            # G objective: D outputs frozen
-            y_ui_g = jax.lax.stop_gradient(y_ui)
-            friends_g = (alt[batch.users] @ jax.lax.stop_gradient(ue)) / self.K
-            y_vi_g = jnp.sum(friends_g * jax.lax.stop_gradient(pos), axis=1)
+            if self.alternating:
+                # faithful G objective (`esrf.py:1310-1314`): gradient flows
+                # to G through the WHOLE discriminator forward (y_ui and
+                # y_vi both depend on alt), with the D parameters frozen —
+                # the torch two-step evaluates both gradients at this same
+                # pre-update point (retain_graph before d_step).
+                d_frozen = jax.lax.stop_gradient(params["d"])
+                ue_g, ie_g = self._discriminator(d_frozen, graph, alt, is_social=True)
+                u_g = ue_g[batch.users]
+                pos_g = ie_g[batch.pos_items]
+                y_ui_g = jnp.sum(u_g * pos_g, axis=1)
+                friends_g = (alt[batch.users] @ ue_g) / self.K
+                y_vi_g = jnp.sum(friends_g * pos_g, axis=1)
+            else:
+                # simpler variant: D outputs frozen (only the direct
+                # alt-path reaches G)
+                y_ui_g = jax.lax.stop_gradient(y_ui)
+                friends_g = (alt[batch.users] @ jax.lax.stop_gradient(ue)) / self.K
+                y_vi_g = jnp.sum(friends_g * jax.lax.stop_gradient(pos), axis=1)
             g_loss = self.beta * (
                 -jnp.sum(jnp.log(jax.nn.sigmoid(y_vi_g - y_ui_g) + 1e-10))
             )

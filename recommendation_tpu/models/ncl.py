@@ -6,10 +6,11 @@ full-catalog denominator, summed over the batch — `ncl.py:358-367`)
 + prototype-contrastive ProtoNCE over k-means clusters (`ncl.py:369-375`).
 
 The faiss E-step (`ncl.py:347-356`) becomes on-device JAX k-means
-(``ops/kmeans.py``). The reference pathologically re-clusters EVERY BATCH
-(`ncl.py:324` — SURVEY.md §3 hot loop #4); here the cadence is a config knob
-``NCL.e_step_cadence`` defaulting to once per epoch (documented divergence,
-SURVEY.md §7.3).
+(``ops/kmeans.py``). The reference re-clusters EVERY BATCH (`ncl.py:324` —
+SURVEY.md §3 hot loop #4); the cadence is a config knob
+``NCL.e_step_cadence`` defaulting to once per epoch, with the faithful
+per-batch behavior reachable via ``NCL.e_step_cadence='batch'`` (runs the
+Lloyd iterations inside the jitted step on stop-gradient embeddings).
 """
 
 from __future__ import annotations
@@ -51,9 +52,14 @@ class NCL(Model):
         self.alpha = float(config.get("NCL.alpha", 1.0))
         self.num_clusters = int(config.get("NCL.num_clusters", 100))
         self.kmeans_iters = int(config.get("NCL.kmeans_iters", 10))
-        # E-step every N epochs (the reference re-clusters per BATCH,
-        # `ncl.py:324` — documented divergence)
-        self.e_step_cadence = int(config.get("NCL.e_step_cadence", 1))
+        # E-step cadence: an int = every N epochs (fast default), or the
+        # string "batch" = re-cluster EVERY BATCH inside the jitted step,
+        # which is the reference's faithful behavior (`ncl.py:324` calls
+        # e_step() before every ProtoNCE). The faithful mode runs the Lloyd
+        # iterations on stop-gradient propagated embeddings in-scan.
+        cad = config.get("NCL.e_step_cadence", 1)
+        self.e_step_per_batch = str(cad).lower() == "batch"
+        self.e_step_cadence = 1 if self.e_step_per_batch else int(cad)
 
     def _k_for(self, n: int) -> int:
         """k capped at max(2, n//39) (`ncl.py:350-351`)."""
@@ -84,7 +90,10 @@ class NCL(Model):
 
     def epoch_begin(self, params, state, graph: DeviceGraph, rng, epoch: int):
         """E-step: k-means over current mean embeddings (`ncl.py:340-356`),
-        every ``NCL.e_step_cadence`` epochs (always at epoch 0)."""
+        every ``NCL.e_step_cadence`` epochs (always at epoch 0). In
+        per-batch mode the E-step lives inside ``loss`` instead."""
+        if self.e_step_per_batch:
+            return state
         if epoch % max(1, self.e_step_cadence) != 0 and epoch > 0:
             return state
         user_all, item_all, _ = self._forward_layers(params, graph)
@@ -133,6 +142,25 @@ class NCL(Model):
         ctx_idx = self.hyper_layers * 2
         context = layers[-1] if ctx_idx >= len(layers) else layers[ctx_idx]
         ssl = self._ssl_layer_loss(context, initial, users, pos, graph.n_users)
+        if self.e_step_per_batch:
+            # faithful per-batch E-step (`ncl.py:324`): re-cluster the
+            # CURRENT propagated embeddings before ProtoNCE. Centroids are
+            # data (faiss was non-differentiable), hence stop_gradient.
+            k1, k2 = jax.random.split(jax.random.fold_in(rng, 7))
+            uc, ua = kmeans(
+                k1, jax.lax.stop_gradient(user_all),
+                self._k_for(graph.n_users), self.kmeans_iters,
+            )
+            ic, ia = kmeans(
+                k2, jax.lax.stop_gradient(item_all),
+                self._k_for(graph.n_items), self.kmeans_iters,
+            )
+            state = {
+                "user_centroids": uc,
+                "user_2cluster": ua.astype(jnp.int32),
+                "item_centroids": ic,
+                "item_2cluster": ia.astype(jnp.int32),
+            }
         proto = self._proto_nce(state, initial, users, pos, graph.n_users, users.shape[0])
         reg = l2_reg_loss(self.reg, user_all[users], item_all[pos], item_all[neg]) / users.shape[0]
         return rec + reg + ssl + proto, state

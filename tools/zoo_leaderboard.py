@@ -39,9 +39,13 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=5)
+    ap.add_argument("--hard", action="store_true",
+                    help="discriminating regime (make_hard_dataset): "
+                         "popularity baseline ~0.34, zoo spreads 0.02-0.42")
+    ap.add_argument("--eval-interval", type=int, default=None)
     args = ap.parse_args()
 
-    train, test = load_or_make_dataset()
+    train, test = load_or_make_dataset(hard=args.hard)
     data = Interaction(train, test)
     social = synthesize_social(data)
     graph_plain = DeviceGraph(data)
@@ -52,7 +56,8 @@ def main():
         if name in SKIP_ALIASES:
             continue
         config = default_config(**{
-            "max.epoch": args.epochs, "eval.interval": max(1, args.epochs),
+            "max.epoch": args.epochs,
+            "eval.interval": args.eval_interval or max(1, args.epochs),
             "item.ranking.topN": [20], "batch.size": 2048,
         })
         graph = graph_social if name in SOCIAL else graph_plain
