@@ -1,0 +1,312 @@
+"""Multi-host (DCN) execution — the cross-slice half of the comm backend.
+
+SURVEY.md §2.5 mandates collectives over "ICI within a slice and DCN across
+slices"; BASELINE.json's scaling target is 1 chip → 1 host → N≥2 hosts. The
+reference has no distribution layer at all (`ncl.py:16` single device), so
+this is north-star completion, not parity.
+
+Design (the scaling-book recipe):
+
+  * one JAX process per host, joined via :func:`initialize` →
+    ``jax.distributed.initialize`` (on real TPU pods the coordinator is
+    auto-detected; elsewhere pass/env the coordinator address);
+  * :func:`make_hybrid_mesh` builds a ``(data, model)`` mesh where the DATA
+    axis spans hosts (gradient psum rides DCN once per step — the only
+    cross-host traffic) and the MODEL axis stays inside a host (table
+    lookups/top-k merges ride ICI). This is the standard DCN-parallelism
+    layout: low-frequency, bandwidth-tolerant collectives across the slow
+    network, latency-sensitive ones inside the slice;
+  * :func:`put_global` forms global arrays from process-local (replicated)
+    host data — the multi-process-safe ``device_put``.
+
+Verified without TPU pod hardware by ``dryrun_multihost`` /
+``tests/test_multihost.py``: N CPU processes × M virtual devices each, gloo
+collectives, trained result compared against the single-process run.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from recommendation_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Join the multi-host cluster. Arguments default to the standard env
+    vars (``JAX_COORDINATOR_ADDRESS``/``JAX_NUM_PROCESSES``/
+    ``JAX_PROCESS_ID``); on TPU pod slices all three may be None and the
+    cluster is auto-detected from the TPU metadata service."""
+    import jax
+
+    coordinator_address = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("JAX_PROCESS_ID"):
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def make_hybrid_mesh(model: int = 1, devices=None):
+    """``(data, model)`` mesh whose data axis crosses hosts (DCN) and whose
+    model axis stays within a host (ICI). Falls back to the flat
+    single-process mesh when there is only one process."""
+    import jax
+    from jax.experimental import mesh_utils
+    from jax.sharding import Mesh
+
+    n_proc = jax.process_count()
+    local = jax.local_device_count() if devices is None else len(devices) // n_proc
+    assert local % model == 0, (local, model)
+    if n_proc == 1:
+        from recommendation_tpu.parallel.mesh import MeshSpec, make_mesh
+
+        return make_mesh(MeshSpec(data=local // model, model=model), devices)
+    devs = list(devices if devices is not None else jax.devices())
+    if len({getattr(d, "slice_index", 0) for d in devs}) == n_proc:
+        # real pod slices: let mesh_utils optimize the ICI layout
+        arr = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(local // model, model),  # per-host (ICI) layout
+            dcn_mesh_shape=(n_proc, 1),  # data axis additionally spans hosts
+            devices=devs,
+        )
+    else:
+        # no slice metadata (multi-process CPU): process-major data axis —
+        # each host owns a contiguous block of data shards, so the gradient
+        # psum reduces intra-host first and crosses DCN once
+        devs = sorted(devs, key=lambda d: (d.process_index, d.id))
+        arr = np.array(devs).reshape(n_proc * (local // model), model)
+    return Mesh(arr, axis_names=(DATA_AXIS, MODEL_AXIS))
+
+
+def put_global(x, sharding):
+    """Multi-process-safe ``device_put``: every process passes the SAME full
+    host array; the result is one global jax.Array with ``sharding``."""
+    import jax
+
+    x = np.asarray(x)
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+
+
+def fetch_global(x) -> np.ndarray:
+    """Gather a (possibly cross-host sharded) jax.Array to host numpy on
+    every process."""
+    import jax
+
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
+# ---------------------------------------------------------------------------
+# Multi-process CPU dryrun: the pod-slice code path without pod hardware.
+# ---------------------------------------------------------------------------
+
+def _worker_train(out_path: Optional[str]) -> float:
+    """One full fused training block of LightGCN-BPR over the hybrid mesh
+    (dp across hosts, tp within), deterministic inputs. Saves the final
+    user table to ``out_path`` (process 0 only) for the equivalence check."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from recommendation_tpu.config import default_config
+    from recommendation_tpu.data.interaction import Interaction
+    from recommendation_tpu.data.synthetic import make_synthetic_dataset
+    from recommendation_tpu.graph.device import DeviceGraph
+    from recommendation_tpu.models.lightgcn import LightGCN
+    from recommendation_tpu.sampling import PairwiseBatch
+
+    train, test = make_synthetic_dataset(
+        n_users=64, n_items=128, n_interactions=3000, seed=0
+    )
+    data = Interaction(train, test)
+    graph = DeviceGraph(data, backend="segment")
+
+    mesh = make_hybrid_mesh(model=2)
+    rep = NamedSharding(mesh, P())
+    dp = NamedSharding(mesh, P(DATA_AXIS))
+    tab = NamedSharding(mesh, P(MODEL_AXIS, None))
+
+    config = default_config(**{"embedding.size": 32, "batch.size": 64})
+    model = LightGCN(config)
+    params, _ = model.init(jax.random.PRNGKey(0), graph)
+    params = {k: put_global(v, tab) for k, v in params.items()}
+
+    # replicate the graph pytree globally
+    for field in graph._DATA_FIELDS:
+        val = getattr(graph, field)
+        setattr(
+            graph,
+            field,
+            jax.tree_util.tree_map(lambda x: put_global(x, rep), val),
+        )
+
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(params)
+
+    def train_step(carry, batch_and_key):
+        params, opt_state = carry
+        batch, rng = batch_and_key
+
+        def loss_fn(p):
+            loss, _ = model.loss(p, {}, batch, graph, rng)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return (optax.apply_updates(params, updates), opt_state), loss
+
+    bs = 64
+    n_steps = 8
+    rng = np.random.default_rng(123)
+    users = put_global(
+        rng.integers(0, graph.n_users, (n_steps, bs)).astype(np.int32), dp_steps(dp)
+    )
+    pos = put_global(
+        rng.integers(0, graph.n_items, (n_steps, bs)).astype(np.int32), dp_steps(dp)
+    )
+    neg = put_global(
+        rng.integers(0, graph.n_items, (n_steps, bs)).astype(np.int32), dp_steps(dp)
+    )
+    w = put_global(np.ones((n_steps, bs), np.float32), dp_steps(dp))
+    keys = put_global(
+        np.asarray(jax.random.split(jax.random.PRNGKey(5), n_steps)), rep_steps(rep)
+    )
+
+    @jax.jit
+    def run(params, opt_state, users, pos, neg, w, keys):
+        def body(carry, xs):
+            u, i, j, ww, k = xs
+            return train_step(carry, (PairwiseBatch(u, i, j, ww), k))
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), (users, pos, neg, w, keys)
+        )
+        return params, losses
+
+    params, losses = run(params, opt_state, users, pos, neg, w, keys)
+    final_loss = float(fetch_global(losses)[-1])
+    assert np.isfinite(final_loss), final_loss
+    if out_path and jax.process_index() == 0:
+        np.savez(
+            out_path,
+            user_emb=fetch_global(params["user_emb"]),
+            losses=fetch_global(losses),
+        )
+    return final_loss
+
+
+def dp_steps(dp):
+    """Per-step batch arrays are [n_steps, batch]: shard batch (axis 1)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return NamedSharding(dp.mesh, P(None, DATA_AXIS))
+
+
+def rep_steps(rep):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return NamedSharding(rep.mesh, P())
+
+
+def dryrun_multihost(n_processes: int = 2, local_devices: int = 4) -> None:
+    """Spawn ``n_processes`` CPU workers (gloo collectives) and verify the
+    multi-host path produces the single-process result. Usable on any
+    machine — this is how the DCN code path is CI-tested without a pod."""
+    import socket
+    import subprocess
+    import sys
+    import tempfile
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    tmp = tempfile.mkdtemp(prefix="multihost_")
+    procs = []
+    for pid in range(n_processes):
+        env = dict(
+            os.environ,
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS=f"--xla_force_host_platform_device_count={local_devices}",
+            JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+            JAX_NUM_PROCESSES=str(n_processes),
+            JAX_PROCESS_ID=str(pid),
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-m", "recommendation_tpu.parallel.distributed",
+                 "--worker", "--out", os.path.join(tmp, "mp.npz")],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            )
+        )
+    outs = [p.communicate(timeout=600)[0].decode() for p in procs]
+    for p, o in zip(procs, outs):
+        if p.returncode != 0:
+            raise RuntimeError(f"worker failed:\n{o}")
+    mp = np.load(os.path.join(tmp, "mp.npz"))
+
+    # single-process reference with the same global device count
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS=f"--xla_force_host_platform_device_count={n_processes * local_devices}",
+    )
+    sp_out = os.path.join(tmp, "sp.npz")
+    r = subprocess.run(
+        [sys.executable, "-m", "recommendation_tpu.parallel.distributed",
+         "--worker", "--single", "--out", sp_out],
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(f"single-process reference failed:\n{r.stdout}\n{r.stderr}")
+    sp = np.load(sp_out)
+    if not np.allclose(mp["user_emb"], sp["user_emb"], atol=1e-5):
+        raise AssertionError("multi-host result diverged from single-process")
+    if not np.allclose(mp["losses"], sp["losses"], atol=1e-5):
+        raise AssertionError("multi-host losses diverged from single-process")
+    print(
+        f"dryrun_multihost ok: {n_processes} procs x {local_devices} devices, "
+        f"final loss {float(mp['losses'][-1]):.5f} == single-process"
+    )
+
+
+def _main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--worker", action="store_true")
+    ap.add_argument("--single", action="store_true")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    if not args.worker:
+        dryrun_multihost()
+        return
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    if not args.single:
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        initialize()
+    loss = _worker_train(args.out)
+    print(f"worker done: loss={loss:.5f}")
+
+
+if __name__ == "__main__":
+    _main()
