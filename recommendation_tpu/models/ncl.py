@@ -23,7 +23,7 @@ from recommendation_tpu.losses import bpr_loss, info_nce, l2_reg_loss
 from recommendation_tpu.models.base import Model
 from recommendation_tpu.models.lightgcn import lightgcn_propagate
 from recommendation_tpu.models.registry import register
-from recommendation_tpu.ops.kmeans import kmeans
+from recommendation_tpu.ops.kmeans import kmeans, kmeans_minibatch
 from recommendation_tpu.sampling import PairwiseBatch
 
 
@@ -60,10 +60,26 @@ class NCL(Model):
         cad = config.get("NCL.e_step_cadence", 1)
         self.e_step_per_batch = str(cad).lower() == "batch"
         self.e_step_cadence = 1 if self.e_step_per_batch else int(cad)
+        # tables past this row count cluster with mini-batch k-means
+        # (O(batch*K) memory instead of full Lloyd's O(N*K) — DESIGN gap #7);
+        # 0 forces mini-batch everywhere, -1 forces full Lloyd everywhere
+        self.kmeans_minibatch_above = int(
+            config.get("NCL.kmeans_minibatch_above", 131_072)
+        )
+        self.kmeans_batch = int(config.get("NCL.kmeans_batch", 65_536))
 
     def _k_for(self, n: int) -> int:
         """k capped at max(2, n//39) (`ncl.py:350-351`)."""
         return min(self.num_clusters, max(2, n // 39))
+
+    def _cluster(self, rng, x, k):
+        """Full Lloyd for small tables, mini-batch k-means past the memory
+        threshold (both on device, same (centroids, assignments) contract)."""
+        thr = self.kmeans_minibatch_above
+        if thr >= 0 and x.shape[0] > thr:
+            batch = min(self.kmeans_batch, x.shape[0])
+            return kmeans_minibatch(rng, x, k, self.kmeans_iters, batch=batch)
+        return kmeans(rng, x, k, self.kmeans_iters)
 
     def init(self, rng, graph: DeviceGraph):
         ku, ki = jax.random.split(rng)
@@ -98,8 +114,8 @@ class NCL(Model):
             return state
         user_all, item_all, _ = self._forward_layers(params, graph)
         k1, k2 = jax.random.split(rng)
-        uc, ua = kmeans(k1, user_all, self._k_for(graph.n_users), self.kmeans_iters)
-        ic, ia = kmeans(k2, item_all, self._k_for(graph.n_items), self.kmeans_iters)
+        uc, ua = self._cluster(k1, user_all, self._k_for(graph.n_users))
+        ic, ia = self._cluster(k2, item_all, self._k_for(graph.n_items))
         return {
             "user_centroids": uc,
             "user_2cluster": ua.astype(jnp.int32),
@@ -147,13 +163,11 @@ class NCL(Model):
             # CURRENT propagated embeddings before ProtoNCE. Centroids are
             # data (faiss was non-differentiable), hence stop_gradient.
             k1, k2 = jax.random.split(jax.random.fold_in(rng, 7))
-            uc, ua = kmeans(
-                k1, jax.lax.stop_gradient(user_all),
-                self._k_for(graph.n_users), self.kmeans_iters,
+            uc, ua = self._cluster(
+                k1, jax.lax.stop_gradient(user_all), self._k_for(graph.n_users)
             )
-            ic, ia = kmeans(
-                k2, jax.lax.stop_gradient(item_all),
-                self._k_for(graph.n_items), self.kmeans_iters,
+            ic, ia = self._cluster(
+                k2, jax.lax.stop_gradient(item_all), self._k_for(graph.n_items)
             )
             state = {
                 "user_centroids": uc,

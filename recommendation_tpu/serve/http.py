@@ -85,10 +85,14 @@ def _make_handler(service: RecommenderService):
 
 def serve_http(
     service: RecommenderService, host: str = "127.0.0.1", port: int = 8080,
-    background: bool = False,
+    background: bool = False, batching: bool = True,
 ):
     """Start the HTTP server. ``background=True`` returns the server object
-    (call ``.shutdown()``); otherwise blocks."""
+    (call ``.shutdown()``); otherwise blocks. ``batching`` (default on)
+    micro-batches concurrent requests into one device top-k per wave
+    (`serve/batching.py`)."""
+    if batching:
+        service.enable_batching()
     server = ThreadingHTTPServer((host, port), _make_handler(service))
     if background:
         thread = threading.Thread(target=server.serve_forever, daemon=True)

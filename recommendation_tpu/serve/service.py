@@ -60,12 +60,42 @@ class RecommenderService:
         user_emb, item_emb = rec.model.eval_embeddings(rec.params, rec.state, rec.graph)
         return cls(user_emb, item_emb, rec.data, rec.graph, mesh=mesh)
 
+    # -- request batching ------------------------------------------------------
+
+    _batcher = None
+
+    def enable_batching(self, max_batch: int = 1024, max_wait_ms: float = 2.0):
+        """Route concurrent ``recommend_ids`` calls through a dispatcher
+        thread that answers each wave with one device call
+        (`serve/batching.py`). Idempotent; returns the batcher (its
+        ``.stats`` count requests vs device calls)."""
+        if self._batcher is None:
+            from recommendation_tpu.serve.batching import MicroBatcher
+
+            self._batcher = MicroBatcher(self, max_batch, max_wait_ms)
+        return self._batcher
+
+    def disable_batching(self):
+        if self._batcher is not None:
+            self._batcher.close()
+            self._batcher = None
+
     # -- queries --------------------------------------------------------------
 
     def recommend_ids(
         self, user_ids: Sequence[int], k: int = 10, exclude_seen: bool = True
     ) -> tuple[np.ndarray, np.ndarray]:
-        """(scores f32[B,k], item ids i32[B,k]) for INTERNAL user ids."""
+        """(scores f32[B,k], item ids i32[B,k]) for INTERNAL user ids.
+        With batching enabled, enqueues and waits on the shared dispatcher
+        (one device call per wave of concurrent requests)."""
+        if self._batcher is not None:
+            return self._batcher.submit(user_ids, k, exclude_seen).result(timeout=60)
+        return self._recommend_ids_device(user_ids, k, exclude_seen)
+
+    def _recommend_ids_device(
+        self, user_ids: Sequence[int], k: int = 10, exclude_seen: bool = True
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """The actual device query (what the batcher dispatches)."""
         uids = np.asarray(user_ids, dtype=np.int32)
         u = self.user_emb[uids]
         if self.mesh is not None and not exclude_seen:

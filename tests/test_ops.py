@@ -97,3 +97,56 @@ def test_kmeans_separates_clusters():
     assert len(set(assign[:50])) == 1
     assert len(set(assign[50:])) == 1
     assert assign[0] != assign[-1]
+
+
+def test_kmeans_minibatch_separates_clusters():
+    """Mini-batch k-means (the large-table E-step) must recover the same
+    cluster structure as full Lloyd on well-separated blobs, with its
+    chunked assignment pass agreeing with a direct argmin."""
+    from recommendation_tpu.ops.kmeans import kmeans_minibatch
+
+    rng = np.random.default_rng(0)
+    blobs = np.concatenate([
+        rng.normal(loc=c, scale=0.05, size=(500, 8)).astype(np.float32)
+        for c in (-2.0, 0.0, 2.0)
+    ])
+    x = jnp.asarray(blobs)
+    cent, assign = kmeans_minibatch(
+        jax.random.PRNGKey(1), x, 3, n_iters=30, batch=256, assign_chunk=512
+    )
+    assign = np.asarray(assign)
+    # each true blob maps to one dominant predicted cluster, all distinct
+    dominant = [np.bincount(assign[i * 500:(i + 1) * 500], minlength=3).argmax() for i in range(3)]
+    assert len(set(dominant)) == 3
+    for i, d in enumerate(dominant):
+        purity = (assign[i * 500:(i + 1) * 500] == d).mean()
+        assert purity > 0.95, (i, purity)
+    # chunked assignment == direct nearest-centroid
+    d2 = ((blobs[:, None, :] - np.asarray(cent)[None]) ** 2).sum(-1)
+    assert (np.argmin(d2, 1) == assign).mean() > 0.999
+
+
+def test_ncl_cluster_routing():
+    """NCL routes small tables to full Lloyd and big tables to mini-batch
+    (threshold + force knobs)."""
+    from unittest.mock import patch
+
+    from recommendation_tpu.config import default_config
+    from recommendation_tpu.models.ncl import NCL
+
+    x_small = jnp.zeros((100, 8))
+    x_big = jnp.zeros((600, 8))
+
+    m = NCL(default_config(**{"NCL.kmeans_minibatch_above": 500}))
+    with patch("recommendation_tpu.models.ncl.kmeans") as full, \
+         patch("recommendation_tpu.models.ncl.kmeans_minibatch") as mini:
+        full.return_value = mini.return_value = (jnp.zeros((2, 8)), jnp.zeros((1,), jnp.int32))
+        m._cluster(jax.random.PRNGKey(0), x_small, 2)
+        assert full.called and not mini.called
+        m._cluster(jax.random.PRNGKey(0), x_big, 2)
+        assert mini.called
+    m_force_full = NCL(default_config(**{"NCL.kmeans_minibatch_above": -1}))
+    with patch("recommendation_tpu.models.ncl.kmeans") as full:
+        full.return_value = (jnp.zeros((2, 8)), jnp.zeros((1,), jnp.int32))
+        m_force_full._cluster(jax.random.PRNGKey(0), x_big, 2)
+        assert full.called

@@ -126,3 +126,82 @@ def test_http_round_trip(service):
         assert e.value.code == 400
     finally:
         server.shutdown()
+
+
+def test_microbatcher_correctness_and_coalescing(trained):
+    """Concurrent requests through the micro-batcher must return exactly the
+    direct-path answers, and a synchronized burst must coalesce into fewer
+    device calls than requests."""
+    import threading
+
+    service = RecommenderService.from_recommender(trained)
+    uids = list(range(service.data.user_num))
+    direct = {u: service.recommend_ids([u], 5) for u in uids[:24]}
+
+    batcher = service.enable_batching(max_batch=256, max_wait_ms=20.0)
+    try:
+        results = {}
+        errors = []
+        gate = threading.Barrier(24)
+
+        def worker(u):
+            try:
+                gate.wait(timeout=10)
+                results[u] = service.recommend_ids([u], 5)
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        threads = [threading.Thread(target=worker, args=(u,)) for u in uids[:24]]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        assert not errors, errors
+        for u in uids[:24]:
+            s_d, i_d = direct[u]
+            s_b, i_b = results[u]
+            assert np.array_equal(np.asarray(i_d), np.asarray(i_b)), u
+            assert np.allclose(np.asarray(s_d), np.asarray(s_b)), u
+        # the synchronized burst must have been coalesced
+        assert batcher.stats["requests"] == 24
+        assert batcher.stats["device_calls"] < 24
+    finally:
+        service.disable_batching()
+
+
+def test_http_concurrent_load(trained):
+    """Load smoke: 60 concurrent HTTP requests against the batched server —
+    every response 200 with k results, server survives."""
+    import threading
+
+    service = RecommenderService.from_recommender(trained)
+    server = serve_http(service, port=0, background=True, batching=True)
+    try:
+        base = f"http://127.0.0.1:{server.server_address[1]}"
+        users = list(service.data.user)[:12]
+        oks = []
+        errors = []
+
+        def hit(i):
+            try:
+                u = users[i % len(users)]
+                resp = json.load(
+                    urllib.request.urlopen(f"{base}/recommend?user={u}&k=5", timeout=30)
+                )
+                assert len(resp["items"]) == 5
+                oks.append(i)
+            except Exception as e:  # noqa: BLE001
+                errors.append((i, e))
+
+        threads = [threading.Thread(target=hit, args=(i,)) for i in range(60)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        assert not errors, errors[:3]
+        assert len(oks) == 60
+        batcher = service._batcher
+        assert batcher is not None and batcher.stats["requests"] == 60
+    finally:
+        server.shutdown()
+        service.disable_batching()
