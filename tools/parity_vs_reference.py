@@ -218,11 +218,14 @@ def run_ours(name, train, test, epochs, extra=None):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=EPOCHS)
+    ap.add_argument("--hard", action="store_true",
+                    help="run on the discriminating hard regime instead of "
+                         "the round-1 saturating dataset")
     args = ap.parse_args()
 
     from recommendation_tpu.data.synthetic import load_or_make_dataset
 
-    train, test = load_or_make_dataset()
+    train, test = load_or_make_dataset(hard=args.hard)
 
     rows = []
     for name, ref_fn, extra in (
