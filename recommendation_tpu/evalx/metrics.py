@@ -10,6 +10,11 @@ Formulas (`ncl.py:133-162`, `selfcf.py:95-149`; SURVEY.md §2.3):
                IDCG = Σ_{i < min(|test(u)|, N)} 1/log2(i+2)
 MAE/RMSE rating metrics mirror `univariate/diffnet.py:638-657`.
 
+The legacy ``Measure.NDCG`` variant (`univariate/diffnet.py:611-622`,
+natural log instead of log2) is the SAME function: every DCG and IDCG term
+scales by the constant ln(2), which cancels in the DCG/IDCG ratio — so one
+implementation covers both reference families exactly.
+
 Two surfaces: the dict-based ``Metric`` statics (drop-in for reference-style
 ``{user: [(item, score)]}`` results) and the vectorized ``ranking_metrics``
 over top-k id arrays (what the device pipeline produces). Both share the same
