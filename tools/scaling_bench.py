@@ -24,6 +24,77 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def multihost(n_processes: int, local_devices: int):
+    """Throughput-scaling run across REAL processes (DCN code path): spawns
+    N CPU workers over the hybrid mesh (`parallel/distributed.py`) and
+    reports aggregate examples/s vs a 1-process run of the same program.
+    On a real pod the same worker runs unchanged per host."""
+    import socket
+    import subprocess
+    import sys as _sys
+
+    def spawn(nproc):
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        procs = []
+        for pid in range(nproc):
+            env = dict(
+                os.environ,
+                JAX_PLATFORMS="cpu",
+                XLA_FLAGS=f"--xla_force_host_platform_device_count={local_devices}",
+            )
+            if nproc > 1:
+                env.update(
+                    JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+                    JAX_NUM_PROCESSES=str(nproc),
+                    JAX_PROCESS_ID=str(pid),
+                )
+            procs.append(subprocess.Popen(
+                [_sys.executable, __file__, "--worker"]
+                + ([] if nproc > 1 else ["--single"]),
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            ))
+        outs = [p.communicate(timeout=900)[0].decode() for p in procs]
+        for p, o in zip(procs, outs):
+            if p.returncode != 0:
+                raise RuntimeError(f"worker failed:\n{o}")
+        for line in outs[0].splitlines():
+            if line.startswith("EXAMPLES_PER_S"):
+                return float(line.split()[1])
+        raise RuntimeError(f"no throughput line in:\n{outs[0]}")
+
+    base = spawn(1)
+    print(f"processes=1 ({local_devices} devices): {base:,.0f} examples/s")
+    multi = spawn(n_processes)
+    eff = multi / (base * n_processes)
+    print(f"processes={n_processes} ({n_processes * local_devices} devices): "
+          f"{multi:,.0f} examples/s  efficiency={eff:.2f}")
+    print("(CPU-mesh gloo numbers validate the multi-process MACHINERY, not "
+          "DCN bandwidth; the same worker runs per-host on a pod.)")
+
+
+def _multihost_worker(single: bool):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    if not single:
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        from recommendation_tpu.parallel.distributed import initialize
+
+        initialize()
+    import time as _time
+
+    from recommendation_tpu.parallel import distributed as D
+
+    t0 = _time.perf_counter()
+    D._worker_train(None)
+    dt = _time.perf_counter() - t0
+    # _worker_train runs 8 steps x batch 64 (see distributed.py)
+    ex_s = 8 * 64 / dt * jax.process_count()
+    print(f"EXAMPLES_PER_S {ex_s:.1f}")
+
+
 def main():
     import jax
 
@@ -128,4 +199,18 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--multihost", type=int, default=0, metavar="N",
+                    help="scaling across N real processes (DCN path)")
+    ap.add_argument("--local-devices", type=int, default=4)
+    ap.add_argument("--worker", action="store_true", help=argparse.SUPPRESS)
+    ap.add_argument("--single", action="store_true", help=argparse.SUPPRESS)
+    args = ap.parse_args()
+    if args.worker:
+        _multihost_worker(args.single)
+    elif args.multihost:
+        multihost(args.multihost, args.local_devices)
+    else:
+        main()
