@@ -112,7 +112,6 @@ def roofline_main(data, examples_per_s: float, emb: int, layers: int, batch: int
     matmul). Loss/optimizer FLOPs are negligible against these.
     """
     u, i, _ = data.training_size()
-    e = len(data.training_data)
     flops_step = 2 * layers * 2 * (2 * u * i * emb)  # fwd+bwd, 2 matmuls/layer
     steps_per_s = examples_per_s / batch
     achieved = flops_step * steps_per_s
@@ -259,7 +258,9 @@ def main():
             print(f"baseline measurement failed: {e}", file=sys.stderr)
             ref, vs = None, None
 
-    roof = roofline_main(data, ours, EMB, LAYERS, BATCH)
+    # MFU is only meaningful against the bf16 MXU peak the default path
+    # uses; --f32 runs lower XLA matmul passes whose peak differs
+    roof = roofline_main(data, ours, EMB, LAYERS, BATCH) if dtype == "bfloat16" else {}
     print(
         json.dumps(
             {

@@ -4,7 +4,10 @@ Run: python examples/train_lightgcn.py [path/to/train.txt path/to/test.txt]
 Falls back to the cached synthetic ML-100K-shaped dataset.
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from recommendation_tpu.config import default_config
 from recommendation_tpu.data.interaction import Interaction

@@ -7,6 +7,11 @@ On a real multi-chip slice, drop the env vars — the mesh picks up every
 visible device.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from recommendation_tpu.config import default_config
 from recommendation_tpu.data.interaction import Interaction
 from recommendation_tpu.data.social import synthesize_social

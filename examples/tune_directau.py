@@ -3,6 +3,11 @@
 Run: python examples/tune_directau.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from recommendation_tpu.config import default_config
 from recommendation_tpu.data.synthetic import load_or_make_dataset
 from recommendation_tpu.tune import GridTuner, print_summary

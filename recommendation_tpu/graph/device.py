@@ -229,9 +229,14 @@ class DeviceGraph:
         import scipy.sparse as sp
         from recommendation_tpu.data.interaction import normalize_graph_mat
 
+        # Only GRACE/G-BT read the self-loop variant; on the bucketed
+        # backend skip its two O(E) gather-table builds (host time + HBM)
+        # and keep it on the segment path — correct, just not tuned for the
+        # large-graph regime those encoders don't target.
+        selfloops_backend = "segment" if self.backend == "bucketed" else self.backend
         self.norm_adj_selfloops = from_scipy(
             normalize_graph_mat(data.ui_adj + sp.eye(self.n_nodes, dtype=np.float32)),
-            backend=self.backend,
+            backend=selfloops_backend,
             pad_to=pad_to,
             compute_dtype=compute_dtype,
         )

@@ -49,14 +49,23 @@ class MicroBatcher:
         self._thread.start()
 
     def submit(self, user_ids: Sequence[int], k: int, exclude_seen: bool = True) -> Future:
+        if self._stop.is_set():
+            raise RuntimeError("MicroBatcher is closed")
         p = _Pending(list(user_ids), int(k), bool(exclude_seen))
-        self.stats["requests"] += 1
         self._queue.put(p)
         return p.future
 
     def close(self):
         self._stop.set()
         self._thread.join(timeout=5)
+        # fail any requests that raced into the queue after shutdown
+        while True:
+            try:
+                p = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if not p.future.done():
+                p.future.set_exception(RuntimeError("MicroBatcher closed"))
 
     # -- dispatcher -----------------------------------------------------------
 
@@ -85,6 +94,8 @@ class MicroBatcher:
             wave = self._drain_wave()
             if not wave:
                 continue
+            # stats are only touched on this thread — no lock needed
+            self.stats["requests"] += len(wave)
             groups: Dict[tuple, List[_Pending]] = {}
             for p in wave:
                 groups.setdefault((p.k, p.exclude_seen), []).append(p)

@@ -88,8 +88,14 @@ class RecommenderService:
         """(scores f32[B,k], item ids i32[B,k]) for INTERNAL user ids.
         With batching enabled, enqueues and waits on the shared dispatcher
         (one device call per wave of concurrent requests)."""
-        if self._batcher is not None:
-            return self._batcher.submit(user_ids, k, exclude_seen).result(timeout=60)
+        batcher = self._batcher  # snapshot: disable_batching may race
+        if batcher is not None:
+            try:
+                return batcher.submit(user_ids, k, exclude_seen).result(timeout=60)
+            except RuntimeError:
+                # batcher closed between the snapshot and submit — the
+                # request is still valid, answer it directly
+                pass
         return self._recommend_ids_device(user_ids, k, exclude_seen)
 
     def _recommend_ids_device(

@@ -130,7 +130,11 @@ class GraphRecommender:
         one runs). Gated additionally on total scan length so one device
         execution stays under the runtime watchdog. The fused path draws the
         exact per-epoch keys the unfused loop would, so the two paths are
-        numerically identical (pinned by tests/test_train_extras.py)."""
+        numerically identical while losses stay finite (pinned by
+        tests/test_train_extras.py). Sole divergence: a NaN epoch aborts at
+        BLOCK granularity — later epochs of the same block have already run
+        (their per-step guards still skip non-finite updates), whereas the
+        unfused loop stops before them."""
         from recommendation_tpu.models.base import Model
 
         mode = self.config.get("train.fuse_epochs", "auto")

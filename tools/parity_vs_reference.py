@@ -190,7 +190,53 @@ def run_reference_sept_basic(train, test, epochs):
     return model.U.detach().numpy(), model.V.detach().numpy(), model.data
 
 
-def run_ours(name, train, test, epochs, extra=None):
+def run_reference_mhcn(train, test, social, epochs):
+    """univariate/mhcn.py — torch+scipy (+tf-vestige import, present in this
+    image). Drive train_epoch directly for matched epochs."""
+    import torch
+
+    mod = _load_reference_module("/root/reference/univariate/mhcn.py", "ref_mhcn")
+    conf = {
+        "model": {"name": "MHCN"},
+        "MHCN": {"n_layer": 2, "ss_rate": 0.01},
+        "emb_size": EMB, "batch_size": BATCH, "lr": LR, "reg_lambda": 1e-4,
+        "max.epoch": epochs, "item.ranking.topN": TOPN,
+    }
+    model = mod.MHCN(conf, list(train), list(test), [list(t) for t in social])
+    model.build()
+    optimizer = torch.optim.Adam(model.parameters(), lr=LR)
+    for epoch in range(epochs):
+        model.train_epoch(optimizer, epoch)
+    U = model.final_user_embeddings.detach().cpu().numpy()
+    V = model.final_item_embeddings.detach().cpu().numpy()
+    return U, V, model.data
+
+
+def run_reference_sept(train, test, social, epochs):
+    """univariate/sept_social.py — full tri-view SEPT (torch+scipy).
+
+    The reference CRASHES past its warm-up third: `train()` calls
+    `self.data.convert_to_laplacian_mat(...)` (`sept_social.py:427`) but its
+    own `Interaction` class defines no such method — any `max.epoch >= 2`
+    raises AttributeError on the first post-warm-up epoch. The script is
+    only runnable for max.epoch == 1 (pure warm-up BPR), so the head-to-head
+    compares exactly that phase; the SSL phase has no runnable reference."""
+    mod = _load_reference_module(
+        "/root/reference/univariate/sept_social.py", "ref_sept_social"
+    )
+    del epochs  # see docstring: anything >= 2 crashes in the reference
+    conf = {
+        "model": {"name": "SEPT"},
+        "SEPT": {"n_layer": 2, "ss_rate": 0.005, "drop_rate": 0.3, "ins_cnt": 10},
+        "emb_size": EMB, "batch_size": BATCH, "lr": LR, "reg_lambda": 1e-4,
+        "max.epoch": 1, "item.ranking.topN": TOPN,
+    }
+    model = mod.SEPT(conf, list(train), list(test), [list(t) for t in social])
+    model.train()
+    return np.asarray(model.U), np.asarray(model.V), model.data
+
+
+def run_ours(name, train, test, epochs, extra=None, social=None):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -207,7 +253,12 @@ def run_ours(name, train, test, epochs, extra=None):
         "eval.interval": max(1, epochs), **(extra or {}),
     })
     data = Interaction(train, test)
-    graph = DeviceGraph(data)
+    if social is not None:
+        from recommendation_tpu.graph.social_device import SocialDeviceGraph
+
+        graph = SocialDeviceGraph(data, social)
+    else:
+        graph = DeviceGraph(data)
     rec = GraphRecommender(get_model(name, config), data, config, graph=graph, log=Log(echo=False))
     rec.build()
     rec.train()
@@ -227,6 +278,12 @@ def main():
 
     train, test = load_or_make_dataset(hard=args.hard)
 
+    # one shared trust graph for the social head-to-heads (test.ipynb protocol)
+    from recommendation_tpu.data.interaction import Interaction as _I
+    from recommendation_tpu.data.social import synthesize_social
+
+    social = synthesize_social(_I(train, test))
+
     rows = []
     for name, ref_fn, extra in (
         ("directau", run_reference_directau, {"DirectAU.gamma": 1.0, "DirectAU.n_layers": 2}),
@@ -238,11 +295,23 @@ def main():
                                     "weight.decay": 1e-4, "optimizer": "adamw"}),
         ("sept_basic", run_reference_sept_basic,
          {"SEPT.n_layer": 2, "SEPT.drop_rate": 0.3}),
+        ("mhcn", run_reference_mhcn, {"MHCN.n_layer": 2, "MHCN.ss_rate": 0.01}),
+        # warm-up phase only: the reference crashes past it (see runner)
+        ("sept", run_reference_sept,
+         {"SEPT.n_layer": 2, "SEPT.ss_rate": 0.005, "SEPT.drop_rate": 0.3,
+          "SEPT.ins_cnt": 10, "SEPT.warmup_fraction": 1.0, "max.epoch": 1}),
     ):
+        is_social = name in ("mhcn", "sept")
         print(f"=== {name}: reference (torch-cpu) ...", flush=True)
-        ref_ue, ref_ie, ref_data = ref_fn(list(train), list(test), args.epochs)
+        if is_social:
+            ref_ue, ref_ie, ref_data = ref_fn(list(train), list(test), social, args.epochs)
+        else:
+            ref_ue, ref_ie, ref_data = ref_fn(list(train), list(test), args.epochs)
         print(f"=== {name}: ours (jax) ...", flush=True)
-        our_ue, our_ie, data, graph = run_ours(name, train, test, args.epochs, extra)
+        our_ue, our_ie, data, graph = run_ours(
+            name, train, test, args.epochs, extra,
+            social=social if is_social else None,
+        )
         # the reference scripts drift on id assignment (sorted vs insertion
         # order, SURVEY.md §2.3) — remap their rows into OUR id space
         uperm = np.array([ref_data.user[data.id2user[i]] for i in range(data.user_num)])

@@ -67,9 +67,11 @@ def multihost(n_processes: int, local_devices: int):
     base = spawn(1)
     print(f"processes=1 ({local_devices} devices): {base:,.0f} examples/s")
     multi = spawn(n_processes)
+    # STRONG scaling of a fixed global workload: ideal = N x the 1-process
+    # rate (each process holds 1/N of the batch)
     eff = multi / (base * n_processes)
     print(f"processes={n_processes} ({n_processes * local_devices} devices): "
-          f"{multi:,.0f} examples/s  efficiency={eff:.2f}")
+          f"{multi:,.0f} examples/s  strong-scaling efficiency={eff:.2f}")
     print("(CPU-mesh gloo numbers validate the multi-process MACHINERY, not "
           "DCN bandwidth; the same worker runs per-host on a pod.)")
 
@@ -90,8 +92,9 @@ def _multihost_worker(single: bool):
     t0 = _time.perf_counter()
     D._worker_train(None)
     dt = _time.perf_counter() - t0
-    # _worker_train runs 8 steps x batch 64 (see distributed.py)
-    ex_s = 8 * 64 / dt * jax.process_count()
+    # _worker_train runs 8 steps over ONE GLOBAL batch of 64 (sharded across
+    # every device of every process) — count the global workload once
+    ex_s = 8 * 64 / dt
     print(f"EXAMPLES_PER_S {ex_s:.1f}")
 
 
