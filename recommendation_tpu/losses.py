@@ -14,7 +14,17 @@ import jax.numpy as jnp
 
 
 def _l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
-    return x / jnp.maximum(jnp.linalg.norm(x, axis=axis, keepdims=True), eps)
+    """L2-normalize with a ZERO-safe gradient.
+
+    ``jnp.linalg.norm``'s gradient at an exactly-zero row is NaN (0/0), and
+    zero rows genuinely occur in every encoder that normalizes per layer:
+    edge dropout isolates nodes, whose propagated embeddings are all-zero
+    (found as a training NaN in SEPT's SSL phase the moment augmentation
+    kicked in). The double-where keeps the value (0) AND the gradient (0)
+    finite there — also torch's norm-at-zero subgradient convention."""
+    sq = jnp.sum(x * x, axis=axis, keepdims=True)
+    norm = jnp.sqrt(jnp.where(sq > 0, sq, 1.0))
+    return jnp.where(sq > 0, x / jnp.maximum(norm, eps), 0.0)
 
 
 # -- pairwise ranking ---------------------------------------------------------

@@ -27,8 +27,7 @@ from recommendation_tpu.ops.kmeans import kmeans, kmeans_minibatch
 from recommendation_tpu.sampling import PairwiseBatch
 
 
-def _l2n(x):
-    return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+from recommendation_tpu.losses import _l2_normalize as _l2n  # zero-safe gradient
 
 
 @register("ncl")

@@ -31,8 +31,7 @@ from recommendation_tpu.ops.spmm import adj_matmul
 from recommendation_tpu.sampling import PairwiseBatch
 
 
-def _l2n(x):
-    return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+from recommendation_tpu.losses import _l2_normalize as _l2n  # zero-safe gradient
 
 
 def sept_encoder(emb, adj, n_layers, readout: str = "sum"):

@@ -143,3 +143,22 @@ def test_hierarchical_mim_finite():
         losses.hierarchical_mim_loss(jax.random.PRNGKey(0), jnp.asarray(u), jnp.asarray(a))
     )
     assert np.isfinite(val)
+
+
+def test_l2_normalize_zero_row_gradient_finite():
+    """Zero rows genuinely occur (edge dropout isolates nodes); the
+    normalize must have value 0 AND gradient 0 there — jnp.linalg.norm's
+    raw gradient is NaN at exactly-zero input (found as a SEPT SSL-phase
+    training NaN)."""
+    import jax
+
+    from recommendation_tpu.losses import _l2_normalize
+
+    x = jnp.asarray([[0.0, 0.0, 0.0], [3.0, 4.0, 0.0], [1e-20, 0.0, 0.0]])
+    y = _l2_normalize(x)
+    assert np.allclose(np.asarray(y[0]), 0.0)
+    assert np.allclose(np.asarray(y[1]), [0.6, 0.8, 0.0])
+
+    g = jax.grad(lambda a: jnp.sum(_l2_normalize(a) ** 2))(x)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.allclose(np.asarray(g[0]), 0.0)  # zero row -> zero gradient
