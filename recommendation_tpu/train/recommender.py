@@ -99,7 +99,21 @@ class GraphRecommender:
         else:
             self.optimizer = self.model.make_optimizer(self.config) or make_optimizer(self.config)
         self.opt_state = self.optimizer.init(self.params)
-        self._epoch_fn = make_epoch_fn(self.model, self.optimizer, self.batch_size)
+        # chunk very long epochs into several device executions so one call
+        # stays under the runtime watchdog (~1-2 min kills; observed on
+        # ~245-step scans at 4M edges — bench.py uses the same guard). The
+        # chunked path is numerically identical (tests/test_train_extras.py).
+        n_batches = -(-self.graph.n_edges // self.batch_size)
+        max_steps = int(self.config.get("train.max_steps_per_call", 512))
+        steps_per_call = (
+            int(self.config.get("train.steps_per_call", 32))
+            if n_batches > max_steps
+            else None
+        )
+        self._epoch_fn = make_epoch_fn(
+            self.model, self.optimizer, self.batch_size,
+            steps_per_call=steps_per_call,
+        )
         self._fused_fns: Dict[int, object] = {}
         self._rng = jax.random.PRNGKey(int(self.config.get("seed", 0)) + 1)
         self.start_epoch = 0

@@ -157,3 +157,26 @@ def test_fuse_gates(tiny_data, tiny_graph):
     )
     rec.build()
     assert not rec._can_fuse_epochs()
+
+
+def test_trainer_auto_chunking_matches_unchunked(tiny_data, tiny_graph):
+    """Forcing the watchdog chunking threshold low must not change results:
+    the chunked epoch path is numerically identical to the single-scan one."""
+    results = {}
+    for overrides in ({}, {"train.max_steps_per_call": 2, "train.steps_per_call": 3}):
+        config = default_config(**{
+            "max.epoch": 3, "batch.size": 512, "embedding.size": 8,
+            "item.ranking.topN": [10], "eval.interval": 3, **overrides,
+        })
+        rec = GraphRecommender(
+            LightGCN(config), tiny_data, config, graph=tiny_graph, log=Log(echo=False)
+        )
+        rec.build()
+        rec.train()
+        results[bool(overrides)] = rec
+    for k in results[False].params:
+        assert np.allclose(
+            np.asarray(results[False].params[k]),
+            np.asarray(results[True].params[k]),
+            atol=1e-6,
+        ), k
