@@ -116,7 +116,7 @@ def fetch_global(x) -> np.ndarray:
 # Multi-process CPU dryrun: the pod-slice code path without pod hardware.
 # ---------------------------------------------------------------------------
 
-def _worker_train(out_path: Optional[str]) -> float:
+def _worker_train(out_path: Optional[str], ckpt_path: Optional[str] = None) -> float:
     """One full fused training block of LightGCN-BPR over the hybrid mesh
     (dp across hosts, tp within), deterministic inputs. Saves the final
     user table to ``out_path`` (process 0 only) for the equivalence check."""
@@ -203,6 +203,33 @@ def _worker_train(out_path: Optional[str]) -> float:
     params, losses = run(params, opt_state, users, pos, neg, w, keys)
     final_loss = float(fetch_global(losses)[-1])
     assert np.isfinite(final_loss), final_loss
+
+    if ckpt_path:
+        # cross-host checkpoint round trip: orbax writes each process's
+        # addressable shards and coordinates through jax.distributed; the
+        # restore reproduces the SAME sharded global arrays on every host
+        import orbax.checkpoint as ocp
+
+        ckpt = ocp.PyTreeCheckpointer()
+        ckpt.save(ckpt_path, {"params": params}, force=True)
+        restore_args = jax.tree_util.tree_map(
+            lambda x: ocp.ArrayRestoreArgs(sharding=x.sharding), params
+        )
+        restored = ckpt.restore(
+            ckpt_path,
+            args=ocp.args.PyTreeRestore(
+                item={"params": params},
+                restore_args={"params": restore_args},
+            ),
+        )["params"]
+        for k in params:
+            a = fetch_global(params[k])
+            b = fetch_global(restored[k])
+            assert np.allclose(a, b), f"checkpoint round trip diverged on {k}"
+            assert restored[k].sharding == params[k].sharding, k
+        if jax.process_index() == 0:
+            print("CKPT_ROUNDTRIP ok")
+
     if out_path and jax.process_index() == 0:
         np.savez(
             out_path,
@@ -252,7 +279,8 @@ def dryrun_multihost(n_processes: int = 2, local_devices: int = 4) -> None:
         procs.append(
             subprocess.Popen(
                 [sys.executable, "-m", "recommendation_tpu.parallel.distributed",
-                 "--worker", "--out", os.path.join(tmp, "mp.npz")],
+                 "--worker", "--out", os.path.join(tmp, "mp.npz"),
+                 "--ckpt", os.path.join(tmp, "ckpt")],
                 env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             )
         )
@@ -281,9 +309,11 @@ def dryrun_multihost(n_processes: int = 2, local_devices: int = 4) -> None:
         raise AssertionError("multi-host result diverged from single-process")
     if not np.allclose(mp["losses"], sp["losses"], atol=1e-5):
         raise AssertionError("multi-host losses diverged from single-process")
+    assert any("CKPT_ROUNDTRIP ok" in o for o in outs), "multi-host checkpoint round trip missing"
     print(
         f"dryrun_multihost ok: {n_processes} procs x {local_devices} devices, "
-        f"final loss {float(mp['losses'][-1]):.5f} == single-process"
+        f"final loss {float(mp['losses'][-1]):.5f} == single-process, "
+        f"sharded orbax checkpoint round trip ok"
     )
 
 
@@ -294,6 +324,7 @@ def _main():
     ap.add_argument("--worker", action="store_true")
     ap.add_argument("--single", action="store_true")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--ckpt", default=None)
     args = ap.parse_args()
     if not args.worker:
         dryrun_multihost()
@@ -304,7 +335,7 @@ def _main():
     if not args.single:
         jax.config.update("jax_cpu_collectives_implementation", "gloo")
         initialize()
-    loss = _worker_train(args.out)
+    loss = _worker_train(args.out, args.ckpt)
     print(f"worker done: loss={loss:.5f}")
 
 
