@@ -49,10 +49,18 @@ def bce_loss(user_emb: jnp.ndarray, pos_emb: jnp.ndarray, neg_emb: jnp.ndarray) 
     )
 
 
+def safe_frobenius_norm(x: jnp.ndarray) -> jnp.ndarray:
+    """||x||_F with a zero-safe gradient (same NaN class as _l2_normalize:
+    d||x||/dx = x/||x|| is 0/0 at x = 0; the reference's torch.norm has the
+    subgradient-0 convention there)."""
+    sq = jnp.sum(x * x)
+    return jnp.where(sq > 0, jnp.sqrt(jnp.where(sq > 0, sq, 1.0)), 0.0)
+
+
 def l2_reg_loss(reg: float, *embs: jnp.ndarray) -> jnp.ndarray:
     """reg * Σ ||x||_F / x.shape[0]  — Frobenius norm over the batch rows
     divided by row count, NOT squared (`ncl.py:122-123`, `ssl4rec.py:16-17`)."""
-    return reg * sum(jnp.linalg.norm(x) / x.shape[0] for x in embs)
+    return reg * sum(safe_frobenius_norm(x) / x.shape[0] for x in embs)
 
 
 # -- contrastive --------------------------------------------------------------
@@ -214,7 +222,7 @@ def bootstrap_g2l_loss(h1_pred, h2_pred, g1_target, g2_target) -> jnp.ndarray:
 
     def side(h, g):
         h = _l2_normalize(h)
-        g = g / jnp.maximum(jnp.linalg.norm(g), 1e-12)
+        g = g / jnp.maximum(safe_frobenius_norm(g), 1e-12)
         return jnp.mean(2.0 - 2.0 * h @ g)
 
     return (side(h1_pred, g2) + side(h2_pred, g1)) / 2.0

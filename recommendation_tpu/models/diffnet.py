@@ -15,6 +15,7 @@ import jax.numpy as jnp
 
 from recommendation_tpu.graph.device import DeviceGraph
 from recommendation_tpu.models.base import Model
+from recommendation_tpu.losses import safe_frobenius_norm
 from recommendation_tpu.models.registry import register
 from recommendation_tpu.ops.spmm import adj_matmul
 from recommendation_tpu.sampling import PairwiseBatch
@@ -58,7 +59,7 @@ class DiffNet(Model):
         y = jnp.sum(u * pos, axis=1) - jnp.sum(u * neg, axis=1)
         pairwise = -jnp.sum(jnp.log(jax.nn.sigmoid(y) + 1e-10))
         reg = self.reg_u * (
-            jnp.linalg.norm(u) + jnp.linalg.norm(pos) + jnp.linalg.norm(neg)
+            safe_frobenius_norm(u) + safe_frobenius_norm(pos) + safe_frobenius_norm(neg)
         )
         return pairwise + reg, state
 

@@ -39,6 +39,7 @@ from recommendation_tpu.sampling import PairwiseBatch
 
 
 from recommendation_tpu.losses import _l2_normalize as _l2n  # zero-safe gradient
+from recommendation_tpu.losses import safe_frobenius_norm
 
 
 def gumbel_softmax(rng, logits, temperature=0.2, eps=1e-10):
@@ -138,7 +139,7 @@ class ESRF(Model):
         y = jnp.sum(u * pos, axis=1) - jnp.sum(u * neg, axis=1)
         pairwise = -jnp.sum(jnp.log(jax.nn.sigmoid(y) + 1e-10))
         reg = self.reg_u * (
-            jnp.linalg.norm(u) + jnp.linalg.norm(pos) + jnp.linalg.norm(neg)
+            safe_frobenius_norm(u) + safe_frobenius_norm(pos) + safe_frobenius_norm(neg)
         )
         return pairwise + reg
 
