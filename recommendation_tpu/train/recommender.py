@@ -155,12 +155,20 @@ class GraphRecommender:
         if mode is False or str(mode).lower() == "false":
             return False
         n_batches = -(-self.graph.n_edges // self.batch_size)
+        # fuse only when ONE epoch is short enough that the per-epoch
+        # dispatch RTT is a real fraction of its compute (same threshold as
+        # bench.py). Long single executions are also actively SLOWER on this
+        # runtime: a 330-step fused scan measured 8x below the same steps
+        # chunked (21.5k vs 182k ex/s at Gowalla scale, watchdog-adjacent
+        # execution times) — fusing big epochs is a loss twice over.
+        fuse_below = int(self.config.get("train.fuse_below_steps", 64))
         max_steps = int(self.config.get("train.max_fused_steps", 1024))
         return (
             self.eval_interval > 1
             and type(self.model).epoch_begin is Model.epoch_begin
             and self._bold is None
             and self.config.get("convergence.eps", None) is None
+            and n_batches <= fuse_below
             and n_batches * self.eval_interval <= max_steps
         )
 
