@@ -104,11 +104,32 @@ class RecommenderService:
         """The actual device query (what the batcher dispatches)."""
         uids = np.asarray(user_ids, dtype=np.int32)
         u = self.user_emb[uids]
-        if self.mesh is not None and not exclude_seen:
+        if self.mesh is not None:
             from recommendation_tpu.parallel.collectives import sharded_topk
 
-            s, i = sharded_topk(u, self._item_sharded, k, self.mesh)
-            return np.asarray(s), np.asarray(i)
+            if not exclude_seen:
+                s, i = sharded_topk(u, self._item_sharded, k, self.mesh)
+                return np.asarray(s), np.asarray(i)
+            # with exclusions: over-fetch past the heaviest requested user's
+            # degree, then mask train positives post-merge (the same
+            # vectorized protocol as the sharded evaluator,
+            # `parallel/trainer.py::test`)
+            mat = self.data.interaction_mat
+            degs = np.diff(mat.indptr)[uids]
+            over = int(degs.max()) if len(degs) else 0
+            kk = min(k + over, self._item_sharded.shape[0])
+            s, i = sharded_topk(u, self._item_sharded, kk, self.mesh)
+            s = np.asarray(s).copy()
+            i = np.asarray(i)
+            n_items = self.data.item_num
+            coo = mat.tocoo()
+            train_keys = coo.row.astype(np.int64) * n_items + coo.col.astype(np.int64)
+            valid = i < n_items  # mask row-padding past the real catalog
+            query = uids.astype(np.int64)[:, None] * n_items + np.where(valid, i, 0)
+            seen = np.isin(query, train_keys) & valid
+            s[seen | ~valid] = -np.inf
+            order = np.argsort(-s, axis=1)[:, :k]
+            return np.take_along_axis(s, order, axis=1), np.take_along_axis(i, order, axis=1)
         if exclude_seen:
             if getattr(self.graph, "has_pos_table", True):
                 pos = self.graph.user_positives[uids]

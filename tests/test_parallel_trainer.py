@@ -109,3 +109,32 @@ def test_sharded_table_placement(tiny_data):
     rec.train()
     metrics = rec.test().metrics
     assert np.isfinite(metrics["Recall@10"])
+
+
+def test_sharded_bucketed_backend_matches_single(tiny_data):
+    """The bucketed (large-graph) backend under the sharded trainer: row-
+    sharded tables + replicated gather tables must reproduce the
+    single-device run (GSPMD turns table lookups into gathers+collectives;
+    the pull-form rows are disjoint, so no propagation psum is needed)."""
+    from recommendation_tpu.graph.device import DeviceGraph
+
+    config = default_config(**CONF)
+    single = GraphRecommender(
+        LightGCN(config), tiny_data, config,
+        graph=DeviceGraph(tiny_data, backend="bucketed"), log=Log(echo=False),
+    )
+    single.build()
+    single.train()
+    ue_s, ie_s = single.model.eval_embeddings(single.params, single.state, single.graph)
+
+    mesh = make_mesh(MeshSpec(data=4, model=2))
+    sharded = ShardedGraphRecommender(
+        LightGCN(config), tiny_data, config,
+        graph=DeviceGraph(tiny_data, backend="bucketed"), mesh=mesh,
+        log=Log(echo=False),
+    )
+    sharded.build()
+    sharded.train()
+    ue_m, ie_m = sharded.model.eval_embeddings(sharded.params, sharded.state, sharded.graph)
+    assert np.allclose(np.asarray(ue_s), np.asarray(ue_m), atol=5e-3)
+    assert np.allclose(np.asarray(ie_s), np.asarray(ie_m), atol=5e-3)

@@ -205,3 +205,23 @@ def test_http_concurrent_load(trained):
     finally:
         server.shutdown()
         service.disable_batching()
+
+
+def test_sharded_serving_with_exclusions_matches_single(trained):
+    """On a mesh, recommend_ids with exclude_seen must use the sharded
+    top-k + post-merge masking and agree with the single-device path."""
+    from recommendation_tpu.parallel.mesh import MeshSpec, make_mesh
+
+    plain = RecommenderService.from_recommender(trained)
+    mesh = make_mesh(MeshSpec(data=4, model=2))
+    sharded = RecommenderService.from_recommender(trained, mesh=mesh)
+    uids = list(range(0, trained.data.user_num, 3))
+    s0, i0 = plain.recommend_ids(uids, 7, exclude_seen=True)
+    s1, i1 = sharded.recommend_ids(uids, 7, exclude_seen=True)
+    assert np.array_equal(np.asarray(i0), np.asarray(i1))
+    assert np.allclose(np.asarray(s0), np.asarray(s1), atol=1e-5)
+    # no recommended item may be a train positive
+    mat = trained.data.interaction_mat
+    for row, uid in enumerate(uids):
+        seen = set(mat.indices[mat.indptr[uid]:mat.indptr[uid + 1]].tolist())
+        assert not (set(np.asarray(i1)[row].tolist()) & seen)
