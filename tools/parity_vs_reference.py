@@ -5,11 +5,14 @@ Runs the actual reference scripts' model classes (imported from
 with matched hyperparameters, then evaluates BOTH embedding sets with the
 same evaluator (ours, vectorized — identical formulas to theirs, tested).
 
-Only reference scripts whose dependencies exist here can run:
-directau.py, selfcf.py, univariate/buir.py (torch+scipy only). The others
-need torch_geometric / faiss / numba, which this image does not ship.
+Covered head-to-head (every reference script runnable in this image):
+directau, buir, selfcf, gcl (linear quirk), sept_basic, mhcn, sept-full
+(warm-up phase — the reference crashes past it, see run_reference_sept).
+lightgcn/graphsage/gat/grace/bgrl/gbt need torch_geometric, ncl needs
+faiss, diffnet/esrf need numba — absent from this image; their parity
+rests on the loss/encoder-level torch oracles in tests/.
 
-Usage:  python tools/parity_vs_reference.py [--epochs 2]
+Usage:  python tools/parity_vs_reference.py [--epochs 2] [--hard]
 Appends a summary row per model to stdout; paste into BASELINE.md.
 """
 
@@ -267,6 +270,11 @@ def run_ours(name, train, test, epochs, extra=None, social=None):
 
 
 def main():
+    # force CPU before ANY jax work: this tool may run alongside a TPU job,
+    # and the chip only admits one process (see CLAUDE.md env traps)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=EPOCHS)
     ap.add_argument("--hard", action="store_true",
