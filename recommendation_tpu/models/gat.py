@@ -52,6 +52,53 @@ def gat_layer(
     return out.reshape(n_nodes, heads * d)
 
 
+def gat_layer_bucketed(x, csr, n_nodes, w, a_src, a_dst, heads, neg_slope, rng, att_drop):
+    """Multi-head GAT conv over the bucketed pull tables (`graph/bucketed.py`)
+    — the large-graph attention path. The per-destination softmax becomes a
+    DENSE masked softmax along each bucket's cap axis (padding slots carry
+    ``edge == -1``), so the forward pass is gather-only: no segment_max /
+    segment_sum over edges. The backward still emits one scatter (autodiff
+    of the neighbor gather); a custom VJP through att-refreshed transpose
+    tables is the known follow-up if attention-at-scale becomes hot."""
+    d = a_src.shape[1]
+    h = (x @ w).reshape(-1, heads, d)  # [N, H, d]
+    alpha_src = jnp.einsum("nhd,hd->nh", h, a_src)  # [N, H]
+    alpha_dst = jnp.einsum("nhd,hd->nh", h, a_dst)
+
+    # destination node id for each concat row: invert gather_pos (degree-0
+    # nodes collide harmlessly on the trailing zeros row)
+    total_rows = sum(int(b.idx.shape[0]) for b in csr.buckets)
+    inv = jnp.zeros((total_rows + 1,), jnp.int32).at[csr.gather_pos].set(
+        jnp.arange(n_nodes, dtype=jnp.int32)
+    )
+
+    outs = []
+    off = 0
+    if rng is not None and att_drop > 0:
+        drop_keys = jax.random.split(rng, len(csr.buckets))
+    for bi, b in enumerate(csr.buckets):
+        nb = int(b.idx.shape[0])
+        dst_rows = inv[off:off + nb]  # node id per bucket row
+        off += nb
+        e = jax.nn.leaky_relu(
+            alpha_src[b.idx] + alpha_dst[dst_rows][:, None, :], neg_slope
+        )  # [nb, cap, H]
+        real = (b.edge >= 0)[:, :, None]
+        e = jnp.where(real, e, -jnp.inf)
+        e_max = jnp.max(e, axis=1, keepdims=True)
+        e_max = jnp.where(jnp.isfinite(e_max), e_max, 0.0)
+        ex = jnp.where(real, jnp.exp(e - e_max), 0.0)
+        att = ex / (jnp.sum(ex, axis=1, keepdims=True) + 1e-16)  # [nb, cap, H]
+        if rng is not None and att_drop > 0:
+            keep = jax.random.bernoulli(drop_keys[bi], 1.0 - att_drop, att.shape)
+            att = jnp.where(keep, att / (1.0 - att_drop), 0.0)
+        msgs = h[b.idx] * att[:, :, :, None]  # [nb, cap, H, d]
+        outs.append(jnp.sum(msgs, axis=1))  # [nb, H, d]
+    zero = jnp.zeros((1, heads, d), jnp.float32)
+    concat = jnp.concatenate(outs + [zero], axis=0)
+    return concat[csr.gather_pos].reshape(n_nodes, heads * d)
+
+
 @register("gat")
 class GAT(Model):
     name = "gat"
@@ -89,7 +136,10 @@ class GAT(Model):
         return params, {}
 
     def _forward(self, params, graph: DeviceGraph, rng=None):
-        src, dst, mask = bidirectional_edges(graph)
+        adj = graph.norm_adj
+        bucketed = adj.backend == "bucketed" and adj.pull is not None
+        if not bucketed:
+            src, dst, mask = bidirectional_edges(graph)
         x = jnp.concatenate([params["user_emb"], params["item_emb"]], axis=0)
 
         def maybe_dropout(key, t):
@@ -98,22 +148,26 @@ class GAT(Model):
             keep = jax.random.bernoulli(key, 1.0 - self.dropout, t.shape)
             return jnp.where(keep, t / (1.0 - self.dropout), 0.0)
 
+        def layer(x, p, heads, key):
+            drop = self.edge_dropout if rng is not None else 0.0
+            if bucketed:
+                return gat_layer_bucketed(
+                    x, adj.pull, graph.n_nodes,
+                    p["w"], p["a_src"], p["a_dst"], heads, self.neg_slope, key, drop,
+                )
+            return gat_layer(
+                x, src, dst, mask, graph.n_nodes,
+                p["w"], p["a_src"], p["a_dst"], heads, self.neg_slope, key, drop,
+            )
+
         k1 = k2 = k3 = k4 = None
         if rng is not None:
             k1, k2, k3, k4 = jax.random.split(rng, 4)
         x = maybe_dropout(k1, x)
-        x = gat_layer(
-            x, src, dst, mask, graph.n_nodes,
-            params["gat1"]["w"], params["gat1"]["a_src"], params["gat1"]["a_dst"],
-            self.heads, self.neg_slope, k2, self.edge_dropout if rng is not None else 0.0,
-        )
+        x = layer(x, params["gat1"], self.heads, k2)
         x = jax.nn.elu(x)
         x = maybe_dropout(k3, x)
-        x = gat_layer(
-            x, src, dst, mask, graph.n_nodes,
-            params["gat2"]["w"], params["gat2"]["a_src"], params["gat2"]["a_dst"],
-            1, self.neg_slope, k4, self.edge_dropout if rng is not None else 0.0,
-        )
+        x = layer(x, params["gat2"], 1, k4)
         return x[: graph.n_users], x[graph.n_users :]
 
     def loss(self, params, state, batch: PairwiseBatch, graph: DeviceGraph, rng):

