@@ -193,3 +193,28 @@ def test_gat_bucketed_matches_segment(tiny_data):
     )
     metrics = rec.execute()
     assert np.isfinite(metrics["Recall@10"])
+
+
+def test_social_models_on_bucketed_graph(tiny_data, tiny_social):
+    """Every social model family must train end-to-end when the
+    SocialDeviceGraph (motif adjacencies included) uses the bucketed
+    large-graph backend."""
+    from recommendation_tpu.config import default_config
+    from recommendation_tpu.graph.social_device import SocialDeviceGraph
+    from recommendation_tpu.models import registry
+    from recommendation_tpu.train.recommender import GraphRecommender
+    from recommendation_tpu.utils.logging import Log
+
+    graph = SocialDeviceGraph(tiny_data, tiny_social, backend="bucketed")
+    config = default_config(**{
+        "max.epoch": 2, "batch.size": 512, "embedding.size": 16,
+        "item.ranking.topN": [10], "eval.interval": 2,
+        "ESRF.segment": 16, "NCL.num_clusters": 4,
+    })
+    for name in ("mhcn", "sept", "diffnet", "esrf"):
+        rec = GraphRecommender(
+            registry.build(name, config), tiny_data, config, graph=graph,
+            log=Log(echo=False),
+        )
+        metrics = rec.execute()
+        assert np.isfinite(metrics["Recall@10"]), name
