@@ -52,7 +52,17 @@ def gat_layer(
     return out.reshape(n_nodes, heads * d)
 
 
-def gat_layer_bucketed(x, csr, n_nodes, w, a_src, a_dst, heads, neg_slope, rng, att_drop):
+def bucketed_row_nodes(csr, n_nodes):
+    """Node id per concat row of the bucketed tables (inverse of
+    gather_pos; degree-0 nodes collide harmlessly on the trailing zeros
+    row). Static graph structure — compute once per forward."""
+    total_rows = sum(int(b.idx.shape[0]) for b in csr.buckets)
+    return jnp.zeros((total_rows + 1,), jnp.int32).at[csr.gather_pos].set(
+        jnp.arange(n_nodes, dtype=jnp.int32)
+    )
+
+
+def gat_layer_bucketed(x, csr, row_nodes, n_nodes, w, a_src, a_dst, heads, neg_slope, rng, att_drop):
     """Multi-head GAT conv over the bucketed pull tables (`graph/bucketed.py`)
     — the large-graph attention path. The per-destination softmax becomes a
     DENSE masked softmax along each bucket's cap axis (padding slots carry
@@ -65,25 +75,22 @@ def gat_layer_bucketed(x, csr, n_nodes, w, a_src, a_dst, heads, neg_slope, rng, 
     alpha_src = jnp.einsum("nhd,hd->nh", h, a_src)  # [N, H]
     alpha_dst = jnp.einsum("nhd,hd->nh", h, a_dst)
 
-    # destination node id for each concat row: invert gather_pos (degree-0
-    # nodes collide harmlessly on the trailing zeros row)
-    total_rows = sum(int(b.idx.shape[0]) for b in csr.buckets)
-    inv = jnp.zeros((total_rows + 1,), jnp.int32).at[csr.gather_pos].set(
-        jnp.arange(n_nodes, dtype=jnp.int32)
-    )
-
     outs = []
     off = 0
     if rng is not None and att_drop > 0:
         drop_keys = jax.random.split(rng, len(csr.buckets))
     for bi, b in enumerate(csr.buckets):
         nb = int(b.idx.shape[0])
-        dst_rows = inv[off:off + nb]  # node id per bucket row
+        dst_rows = row_nodes[off:off + nb]  # node id per bucket row
         off += nb
         e = jax.nn.leaky_relu(
             alpha_src[b.idx] + alpha_dst[dst_rows][:, None, :], neg_slope
         )  # [nb, cap, H]
-        real = (b.edge >= 0)[:, :, None]
+        # a REAL neighbor is a non-padding SLOT (edge >= 0) whose COO entry
+        # is a real edge (val != 0 — from_scipy pads the COO with
+        # zero-valued entries that carry valid edge ids; normalized real
+        # edges are strictly positive)
+        real = ((b.edge >= 0) & (b.val != 0))[:, :, None]
         e = jnp.where(real, e, -jnp.inf)
         e_max = jnp.max(e, axis=1, keepdims=True)
         e_max = jnp.where(jnp.isfinite(e_max), e_max, 0.0)
@@ -148,11 +155,13 @@ class GAT(Model):
             keep = jax.random.bernoulli(key, 1.0 - self.dropout, t.shape)
             return jnp.where(keep, t / (1.0 - self.dropout), 0.0)
 
+        row_nodes = bucketed_row_nodes(adj.pull, graph.n_nodes) if bucketed else None
+
         def layer(x, p, heads, key):
             drop = self.edge_dropout if rng is not None else 0.0
             if bucketed:
                 return gat_layer_bucketed(
-                    x, adj.pull, graph.n_nodes,
+                    x, adj.pull, row_nodes, graph.n_nodes,
                     p["w"], p["a_src"], p["a_dst"], heads, self.neg_slope, key, drop,
                 )
             return gat_layer(

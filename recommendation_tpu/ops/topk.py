@@ -17,6 +17,36 @@ import jax.numpy as jnp
 MASK_VALUE = -1e8
 
 
+def mask_seen_post_merge(scores, ids, uid_arr, train_keys, n_items,
+                         mask_value=MASK_VALUE):
+    """Host-side vectorized train-positive masking for over-fetched top-k
+    candidates after a sharded merge (shared by the sharded evaluator,
+    `parallel/trainer.py::test`, and the serving path).
+
+    ``train_keys`` = int64 ``user * n_items + item`` of every train edge;
+    ``ids >= n_items`` marks row-padding from `pad_rows_to`. Returns a
+    masked COPY of ``scores``."""
+    import numpy as np
+
+    uid_arr = np.asarray(uid_arr, dtype=np.int64)
+    ids = np.asarray(ids)
+    valid = ids < n_items
+    query = uid_arr[:, None] * n_items + np.where(valid, ids, 0)
+    seen = np.isin(query, train_keys) & valid
+    out = np.asarray(scores).copy()
+    out[seen | ~valid] = mask_value
+    return out
+
+
+def train_edge_keys(interaction_mat, n_items):
+    """int64 ``user * n_items + item`` keys of every train edge (the
+    immutable structure `mask_seen_post_merge` queries against)."""
+    import numpy as np
+
+    coo = interaction_mat.tocoo()
+    return coo.row.astype(np.int64) * n_items + coo.col.astype(np.int64)
+
+
 def mask_trained(scores: jnp.ndarray, user_positives: jnp.ndarray) -> jnp.ndarray:
     """Mask each user's train positives to −1e8.
 

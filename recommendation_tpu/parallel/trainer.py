@@ -145,27 +145,26 @@ class ShardedGraphRecommender(GraphRecommender):
             pad_rows_to(jax.device_put(item_emb, self._rep), self._n_model), self._tab
         )
         # over-fetch so that masking train positives afterwards still leaves
-        # max_n candidates (the sharded kernel has no per-user mask); note a
-        # global top-k can lose candidates hidden behind a heavy user's
-        # positives only if k < degree+max_n — clamped by catalog size
-        k = min(int(self.graph.max_degree) + max_n, item_sharded.shape[0])
+        # max_n candidates (the sharded kernel has no per-user mask). Budget
+        # covers a heavy user's full degree PLUS the zero-vector padding rows
+        # from pad_rows_to, which score 0 and can displace real candidates;
+        # clamped by catalog size
+        n_pad = item_sharded.shape[0] - self.graph.n_items
+        k = min(int(self.graph.max_degree) + max_n + n_pad, item_sharded.shape[0])
         scores, ids = sharded_topk(
             jax.device_put(user_emb[test_uids], self._rep), item_sharded, k, self.mesh
         )
-        scores = np.asarray(scores).copy()
         ids = np.asarray(ids)
-        # mask train positives + padded rows post-merge, fully vectorized:
-        # encode (user, item) pairs as int64 keys and np.isin against the
-        # train edge set (a Python rows×k loop here is ~30M iterations at
-        # 50k test users × k≈600 — VERDICT r1 weak #6)
-        mat = self.data.interaction_mat.tocoo()
+        # mask train positives + padded rows post-merge, fully vectorized
+        # (a Python rows×k loop here is ~30M iterations at 50k test users ×
+        # k≈600 — VERDICT r1 weak #6)
+        from recommendation_tpu.ops.topk import mask_seen_post_merge, train_edge_keys
+
         n_items = self.graph.n_items
-        uid_arr = np.asarray(test_uids, dtype=np.int64)
-        train_keys = mat.row.astype(np.int64) * n_items + mat.col.astype(np.int64)
-        valid = ids < n_items
-        query_keys = uid_arr[:, None] * n_items + np.where(valid, ids, 0)
-        seen = np.isin(query_keys, train_keys) & valid
-        scores[seen | ~valid] = MASK_VALUE
+        scores = mask_seen_post_merge(
+            scores, ids, test_uids,
+            train_edge_keys(self.data.interaction_mat, n_items), n_items,
+        )
         order = np.argsort(-scores, axis=1)[:, :max_n]
         top_ids = np.take_along_axis(ids, order, axis=1)
         top_scores = np.take_along_axis(scores, order, axis=1)

@@ -21,6 +21,12 @@ from dataclasses import dataclass, field
 from typing import Dict, List, Sequence
 
 
+class BatcherClosed(RuntimeError):
+    """Raised when a request races a MicroBatcher shutdown. Deliberately a
+    DEDICATED type: jaxlib's XlaRuntimeError also subclasses RuntimeError,
+    and real device failures must propagate, not be retried unbatched."""
+
+
 @dataclass
 class _Pending:
     user_ids: List[int]
@@ -50,9 +56,19 @@ class MicroBatcher:
 
     def submit(self, user_ids: Sequence[int], k: int, exclude_seen: bool = True) -> Future:
         if self._stop.is_set():
-            raise RuntimeError("MicroBatcher is closed")
+            raise BatcherClosed("MicroBatcher is closed")
         p = _Pending(list(user_ids), int(k), bool(exclude_seen))
         self._queue.put(p)
+        # close() may have drained the queue between the stop check and the
+        # put (TOCTOU); re-check AFTER enqueueing so the pending can never be
+        # stranded — either the dispatcher is alive and will consume it, or
+        # we fail it here ourselves (set_exception is guarded: the drain in
+        # close() may have failed it already)
+        if self._stop.is_set() and not p.future.done():
+            try:
+                p.future.set_exception(BatcherClosed("MicroBatcher is closed"))
+            except Exception:  # already resolved by the drain — fine
+                pass
         return p.future
 
     def close(self):
@@ -65,7 +81,7 @@ class MicroBatcher:
             except queue.Empty:
                 break
             if not p.future.done():
-                p.future.set_exception(RuntimeError("MicroBatcher closed"))
+                p.future.set_exception(BatcherClosed("MicroBatcher closed"))
 
     # -- dispatcher -----------------------------------------------------------
 

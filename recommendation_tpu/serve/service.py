@@ -46,6 +46,7 @@ class RecommenderService:
             from jax.sharding import NamedSharding, PartitionSpec as P
             import jax
 
+            from recommendation_tpu.ops.topk import train_edge_keys
             from recommendation_tpu.parallel.embedding import pad_rows_to
             from recommendation_tpu.parallel.mesh import MODEL_AXIS
 
@@ -54,6 +55,9 @@ class RecommenderService:
                 pad_rows_to(self.item_emb, n_model),
                 NamedSharding(mesh, P(MODEL_AXIS, None)),
             )
+            # immutable train-edge keys, precomputed + pre-sorted once so the
+            # hot serving path never rebuilds the O(E) structure per request
+            self._train_keys = np.sort(train_edge_keys(data.interaction_mat, data.item_num))
 
     @classmethod
     def from_recommender(cls, rec, mesh=None) -> "RecommenderService":
@@ -90,11 +94,15 @@ class RecommenderService:
         (one device call per wave of concurrent requests)."""
         batcher = self._batcher  # snapshot: disable_batching may race
         if batcher is not None:
+            from recommendation_tpu.serve.batching import BatcherClosed
+
             try:
                 return batcher.submit(user_ids, k, exclude_seen).result(timeout=60)
-            except RuntimeError:
-                # batcher closed between the snapshot and submit — the
-                # request is still valid, answer it directly
+            except BatcherClosed:
+                # batcher closed around the submit — the request is still
+                # valid, answer it directly. Real device errors (which also
+                # subclass RuntimeError) propagate to the caller instead of
+                # being silently retried.
                 pass
         return self._recommend_ids_device(user_ids, k, exclude_seen)
 
@@ -111,23 +119,20 @@ class RecommenderService:
                 s, i = sharded_topk(u, self._item_sharded, k, self.mesh)
                 return np.asarray(s), np.asarray(i)
             # with exclusions: over-fetch past the heaviest requested user's
-            # degree, then mask train positives post-merge (the same
-            # vectorized protocol as the sharded evaluator,
-            # `parallel/trainer.py::test`)
+            # degree PLUS the zero-scoring padding rows from pad_rows_to
+            # (they can displace real candidates), then mask post-merge with
+            # the shared evaluator protocol (ops/topk.py)
+            from recommendation_tpu.ops.topk import MASK_VALUE, mask_seen_post_merge
+
             mat = self.data.interaction_mat
             degs = np.diff(mat.indptr)[uids]
             over = int(degs.max()) if len(degs) else 0
-            kk = min(k + over, self._item_sharded.shape[0])
-            s, i = sharded_topk(u, self._item_sharded, kk, self.mesh)
-            s = np.asarray(s).copy()
-            i = np.asarray(i)
             n_items = self.data.item_num
-            coo = mat.tocoo()
-            train_keys = coo.row.astype(np.int64) * n_items + coo.col.astype(np.int64)
-            valid = i < n_items  # mask row-padding past the real catalog
-            query = uids.astype(np.int64)[:, None] * n_items + np.where(valid, i, 0)
-            seen = np.isin(query, train_keys) & valid
-            s[seen | ~valid] = -np.inf
+            n_pad = self._item_sharded.shape[0] - n_items
+            kk = min(k + over + n_pad, self._item_sharded.shape[0])
+            s, i = sharded_topk(u, self._item_sharded, kk, self.mesh)
+            i = np.asarray(i)
+            s = mask_seen_post_merge(s, i, uids, self._train_keys, n_items, MASK_VALUE)
             order = np.argsort(-s, axis=1)[:, :k]
             return np.take_along_axis(s, order, axis=1), np.take_along_axis(i, order, axis=1)
         if exclude_seen:

@@ -102,12 +102,17 @@ class GraphRecommender:
         # chunk very long epochs into several device executions so one call
         # stays under the runtime watchdog (~1-2 min kills; observed on
         # ~245-step scans at 4M edges — bench.py uses the same guard). The
-        # chunked path is numerically identical (tests/test_train_extras.py).
+        # gate is COST-aware: per-step time scales with edge count (each
+        # step runs full-graph propagation), so weigh steps by millions of
+        # edges — 245 steps at 4M edges is over the default budget while 110
+        # steps at 2M (a ~5 s epoch) stays unchunked. The chunked path is
+        # numerically identical (tests/test_train_extras.py).
         n_batches = -(-self.graph.n_edges // self.batch_size)
+        cost_weight = max(1, -(-self.graph.n_edges // 1_000_000))
         max_steps = int(self.config.get("train.max_steps_per_call", 512))
         steps_per_call = (
             int(self.config.get("train.steps_per_call", 32))
-            if n_batches > max_steps
+            if n_batches * cost_weight > max_steps
             else None
         )
         self._epoch_fn = make_epoch_fn(

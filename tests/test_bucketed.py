@@ -218,3 +218,29 @@ def test_social_models_on_bucketed_graph(tiny_data, tiny_social):
         )
         metrics = rec.execute()
         assert np.isfinite(metrics["Recall@10"]), name
+
+
+def test_gat_bucketed_ignores_coo_padding():
+    """from_scipy pads the COO with zero-valued entries that carry VALID
+    edge ids; the bucketed GAT mask must treat them as non-edges or phantom
+    neighbors enter the last node's softmax (found by review: any graph
+    whose norm_adj nnz is not a multiple of pad_to diverged)."""
+    from recommendation_tpu.config import default_config
+    from recommendation_tpu.data.interaction import Interaction
+    from recommendation_tpu.models.gat import GAT
+
+    # 5 interactions -> square nnz = 10, NOT a multiple of pad_to=8
+    train = [[f"u{i}", f"i{i % 3}", 1.0] for i in range(5)]
+    test = [["u0", "i1", 1.0]]
+    data = Interaction(train, test)
+    assert data.norm_adj.nnz % 8 != 0
+    config = default_config(**{"embedding.size": 8, "GAT.hidden": 8, "GAT.num_heads": 2})
+    outs = {}
+    for backend in ("segment", "bucketed"):
+        graph = DeviceGraph(data, backend=backend)
+        model = GAT(config)
+        params, state = model.init(jax.random.PRNGKey(0), graph)
+        ue, ie = model.eval_embeddings(params, state, graph)
+        outs[backend] = (np.asarray(ue), np.asarray(ie))
+    assert np.allclose(outs["segment"][0], outs["bucketed"][0], atol=1e-4)
+    assert np.allclose(outs["segment"][1], outs["bucketed"][1], atol=1e-4)
