@@ -225,3 +225,46 @@ def test_sharded_serving_with_exclusions_matches_single(trained):
     for row, uid in enumerate(uids):
         seen = set(mat.indices[mat.indptr[uid]:mat.indptr[uid + 1]].tolist())
         assert not (set(np.asarray(i1)[row].tolist()) & seen)
+
+
+def test_batcher_closed_raises_and_falls_back(trained):
+    """submit() after close() raises BatcherClosed (a dedicated type so real
+    device RuntimeErrors still propagate), and the service transparently
+    answers the request on the direct path."""
+    from recommendation_tpu.serve.batching import BatcherClosed
+
+    service = RecommenderService.from_recommender(trained)
+    batcher = service.enable_batching()
+    batcher.close()
+    with pytest.raises(BatcherClosed):
+        batcher.submit([0], 5)
+    # the service-level call still succeeds (falls back to direct)
+    s, i = service.recommend_ids([0], 5)
+    assert np.asarray(i).shape == (1, 5)
+    service.disable_batching()
+
+
+def test_mask_seen_post_merge_unit():
+    import scipy.sparse as sp
+
+    from recommendation_tpu.ops.topk import (
+        MASK_VALUE,
+        mask_seen_post_merge,
+        train_edge_keys,
+    )
+
+    # 3 users x 4 items; train edges: (0,1), (1,2), (2,0)
+    mat = sp.csr_matrix(
+        (np.ones(3), ([0, 1, 2], [1, 2, 0])), shape=(3, 4)
+    )
+    keys = train_edge_keys(mat, 4)
+    ids = np.array([[1, 0, 4], [2, 3, 1], [0, 5, 2]])  # 4,5 = padding rows
+    scores = np.ones_like(ids, dtype=np.float32)
+    out = mask_seen_post_merge(scores, ids, [0, 1, 2], keys, 4, MASK_VALUE)
+    expect_masked = np.array([
+        [True, False, True],    # (0,1) seen; id 4 padded
+        [True, False, False],   # (1,2) seen
+        [True, True, False],    # (2,0) seen; id 5 padded
+    ])
+    assert np.array_equal(out == MASK_VALUE, expect_masked)
+    assert (scores == 1.0).all()  # input untouched (copy semantics)
