@@ -64,3 +64,32 @@ def test_sampling_without_pos_table(tiny_data, monkeypatch):
     users = jax.numpy.asarray(np.arange(graph.n_users, dtype=np.int32))
     negs = np.asarray(sample_negatives(jax.random.PRNGKey(0), graph, users, n_redraws=6))
     assert ((0 <= negs) & (negs < graph.n_items)).all()
+
+
+def test_array_interaction_bucketed_default_and_trains():
+    """Gowalla-class auto-routing: a graph too big for the dense path picks
+    the bucketed backend, and one training step runs finitely on it (the
+    production large-graph configuration, CPU-sized here)."""
+    import jax
+
+    from recommendation_tpu.config import default_config
+    from recommendation_tpu.data.synthetic import ArrayInteraction, make_flat_interactions
+    from recommendation_tpu.graph.device import DENSE_MAX_ELEMENTS
+    from recommendation_tpu.models.lightgcn import LightGCN
+    from recommendation_tpu.train.loop import make_epoch_fn, make_optimizer
+
+    n_u, n_i = 3000, 9000  # 12k^2 square > DENSE_MAX_ELEMENTS
+    assert (n_u + n_i) ** 2 > DENSE_MAX_ELEMENTS
+    pairs = make_flat_interactions(n_u, n_i, 30_000, seed=2)
+    data = ArrayInteraction(pairs, n_u, n_i)
+    graph = DeviceGraph(data, backend="auto")
+    assert graph.backend == "bucketed"
+    assert graph.norm_adj.pull is not None
+
+    config = default_config(**{"embedding.size": 16, "batch.size": 1024})
+    model = LightGCN(config)
+    params, state = model.init(jax.random.PRNGKey(0), graph)
+    opt = make_optimizer(config)
+    fn = make_epoch_fn(model, opt, 1024)
+    _, _, _, loss = fn(graph, params, opt.init(params), state, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
