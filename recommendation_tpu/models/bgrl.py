@@ -26,7 +26,9 @@ from recommendation_tpu.sampling import PairwiseBatch
 
 
 def _batch_norm(x, eps=1e-5):
-    return (x - x.mean(axis=0)) / (x.std(axis=0) + eps)
+    # torch BatchNorm1d semantics (biased variance, eps inside the
+    # sqrt) so the torch oracles agree to float precision
+    return (x - x.mean(axis=0)) / jnp.sqrt(x.var(axis=0) + eps)
 
 
 @register("bgrl")

@@ -25,7 +25,9 @@ from recommendation_tpu.sampling import PairwiseBatch
 
 
 def _batch_norm(x, eps=1e-5):
-    return (x - x.mean(axis=0)) / (x.std(axis=0) + eps)
+    # torch BatchNorm1d semantics (biased variance, eps inside the
+    # sqrt) so the torch oracles agree to float precision
+    return (x - x.mean(axis=0)) / jnp.sqrt(x.var(axis=0) + eps)
 
 
 @register("gbt")
@@ -55,9 +57,10 @@ class GBT(Model):
         return params, {}
 
     def _gcn(self, params, x, adj):
-        z = adj_matmul(adj, x @ params["conv1"]["w"] + params["conv1"]["b"])
+        # GCNConv bias is applied AFTER propagation (see grace.py::_gcn note)
+        z = adj_matmul(adj, x @ params["conv1"]["w"]) + params["conv1"]["b"]
         z = jax.nn.relu(_batch_norm(z))
-        z = adj_matmul(adj, z @ params["conv2"]["w"] + params["conv2"]["b"])
+        z = adj_matmul(adj, z @ params["conv2"]["w"]) + params["conv2"]["b"]
         return z
 
     def loss(self, params, state, batch: PairwiseBatch, graph: DeviceGraph, rng):

@@ -50,8 +50,12 @@ class GRACE(Model):
         return params, {}
 
     def _gcn(self, params, x, adj):
+        # GCNConv applies its bias AFTER propagation: x' = Â(xW) + b
+        # (`univariate/grace.py:510-519` via torch_geometric; Â·b ≠ b under
+        # sym-normalization, so bias placement is numerically visible —
+        # pinned by tests/test_encoder_oracles.py)
         for layer in params["convs"]:
-            x = adj_matmul(adj, x @ layer["w"] + layer["b"])
+            x = adj_matmul(adj, x @ layer["w"]) + layer["b"]
             x = jax.nn.relu(x)
         return x
 

@@ -1,0 +1,390 @@
+"""Hand-written torch replicas of every remaining reference conv (VERDICT-r2
+item 4): GAT attention, SAGE aggregation, GCNConv, GIN, MHCN's gated
+hypergraph forward, DiffNet's forward.
+
+torch_geometric is not in this image, so each oracle re-implements the
+reference conv's math directly in torch (dense ops over the same adjacency,
+built independently in numpy) and checks BOTH values and gradients against
+our encoder. This puts these six forwards on the same evidence tier as the
+LightGCN/SEPT oracles in test_encoder_parity.py.
+
+Reference math: `gat.py:14-40` (PyG GATConv), `graphsage.py:15-32` (PyG
+SAGEConv), `univariate/grace.py:505-519` (PyG GCNConv),
+`univariate/bgrl_g2l.py:498-531` (PyG GINConv + BatchNorm),
+`univariate/mhcn.py:395-470`, `univariate/diffnet.py:1070-1132`.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from recommendation_tpu.config import default_config
+from recommendation_tpu.graph.device import binarized, from_scipy
+
+
+def _grads_close(got, want, atol=2e-4, rtol=2e-3):
+    got, want = np.asarray(got), np.asarray(want)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=atol, rtol=rtol)
+
+
+# ---------------------------------------------------------------------------
+# GAT attention layer (PyG GATConv math, incl. its default self-loops)
+# ---------------------------------------------------------------------------
+
+def test_gat_layer_matches_torch_dense_attention():
+    from recommendation_tpu.models.gat import gat_layer
+
+    rng = np.random.default_rng(0)
+    n, din, heads, d = 30, 6, 2, 5
+    # random directed edges + self-loops (PyG GATConv add_self_loops default)
+    e = 90
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    src = np.concatenate([src, np.arange(n)])
+    dst = np.concatenate([dst, np.arange(n)])
+    # dedupe (dst, src) pairs: the dense oracle stores one logit per pair
+    _, uniq = np.unique(dst.astype(np.int64) * n + src, return_index=True)
+    src, dst = src[uniq], dst[uniq]
+    x = rng.normal(size=(n, din)).astype(np.float32)
+    w = rng.normal(size=(din, heads * d)).astype(np.float32) * 0.3
+    a_src = rng.normal(size=(heads, d)).astype(np.float32) * 0.3
+    a_dst = rng.normal(size=(heads, d)).astype(np.float32) * 0.3
+    probe = rng.normal(size=(n, heads * d)).astype(np.float32)
+    neg_slope = 0.2
+
+    def ours(x, w, a_src, a_dst):
+        out = gat_layer(
+            x, jnp.asarray(src, jnp.int32), jnp.asarray(dst, jnp.int32),
+            jnp.ones((len(src),), jnp.float32), n,
+            w, a_src, a_dst, heads, neg_slope, rng=None, att_drop=0.0,
+        )
+        return jnp.sum(out * probe), out
+
+    (_, got), g_ours = jax.value_and_grad(ours, argnums=(0, 1, 2, 3), has_aux=True)(
+        jnp.asarray(x), jnp.asarray(w), jnp.asarray(a_src), jnp.asarray(a_dst)
+    )
+
+    # torch oracle: dense per-destination softmax over incoming edges
+    tx = torch.tensor(x, requires_grad=True)
+    tw = torch.tensor(w, requires_grad=True)
+    tas = torch.tensor(a_src, requires_grad=True)
+    tad = torch.tensor(a_dst, requires_grad=True)
+    h = (tx @ tw).reshape(n, heads, d)  # [N, H, d]
+    alpha_s = (h * tas).sum(-1)  # [N, H]
+    alpha_d = (h * tad).sum(-1)
+    att = torch.full((heads, n, n), float("-inf"))
+    e_edge = torch.nn.functional.leaky_relu(
+        alpha_s[src] + alpha_d[dst], negative_slope=neg_slope
+    )  # [E, H]
+    # duplicate (dst, src) pairs don't occur in this fixture (checked below)
+    pairs = set(zip(dst.tolist(), src.tolist()))
+    assert len(pairs) == len(src)
+    for hh in range(heads):
+        att[hh, torch.tensor(dst), torch.tensor(src)] = e_edge[:, hh]
+    att = torch.softmax(att, dim=2)
+    att = torch.nan_to_num(att, nan=0.0)  # rows with no in-edges
+    out = torch.einsum("hij,jhd->ihd", att, h).reshape(n, heads * d)
+    scalar = (out * torch.tensor(probe)).sum()
+    scalar.backward()
+
+    _grads_close(got, out.detach().numpy())
+    for g, t in zip(g_ours, (tx, tw, tas, tad)):
+        _grads_close(g, t.grad.numpy())
+
+
+# ---------------------------------------------------------------------------
+# GraphSAGE mean aggregation (PyG SAGEConv math)
+# ---------------------------------------------------------------------------
+
+def test_sage_layer_matches_torch(tiny_data, tiny_graph):
+    from recommendation_tpu.models.graphsage import (
+        bidirectional_edges,
+        masked_segment_mean,
+    )
+
+    rng = np.random.default_rng(1)
+    n = tiny_graph.n_nodes
+    din, dout = 7, 4
+    x = rng.normal(size=(n, din)).astype(np.float32)
+    ws = rng.normal(size=(din, dout)).astype(np.float32) * 0.4  # root (lin_r)
+    wn = rng.normal(size=(din, dout)).astype(np.float32) * 0.4  # neigh (lin_l)
+    b = rng.normal(size=(dout,)).astype(np.float32)
+    probe = rng.normal(size=(n, dout)).astype(np.float32)
+
+    src, dst, mask = bidirectional_edges(tiny_graph)
+
+    def ours(x, ws, wn, b):
+        neigh = masked_segment_mean(x[src], dst, mask, n)
+        out = x @ ws + neigh @ wn + b  # SAGEConv: lin_r(x) + lin_l(mean_N(x))
+        return jnp.sum(out * probe), out
+
+    (_, got), g_ours = jax.value_and_grad(
+        lambda *a: ours(*a), argnums=(0, 1, 2), has_aux=True
+    )(jnp.asarray(x), jnp.asarray(ws), jnp.asarray(wn), jnp.asarray(b))
+
+    # torch oracle over the dense 0/1 square adjacency
+    a_dense = np.zeros((n, n), dtype=np.float32)
+    mat = tiny_data.interaction_mat.tocoo()
+    u_ids, i_ids = mat.row, mat.col + tiny_data.user_num
+    a_dense[i_ids, u_ids] = 1.0  # dst=item row pulls user
+    a_dense[u_ids, i_ids] = 1.0
+    tx = torch.tensor(x, requires_grad=True)
+    tws = torch.tensor(ws, requires_grad=True)
+    twn = torch.tensor(wn, requires_grad=True)
+    ta = torch.tensor(a_dense)
+    deg = ta.sum(1, keepdim=True).clamp(min=1.0)
+    mean_n = (ta @ tx) / deg
+    out = tx @ tws + mean_n @ twn + torch.tensor(b)
+    (out * torch.tensor(probe)).sum().backward()
+
+    _grads_close(got, out.detach().numpy())
+    for g, t in zip(g_ours, (tx, tws, twn)):
+        _grads_close(g, t.grad.numpy())
+
+
+# ---------------------------------------------------------------------------
+# GCNConv stack (GRACE / G-BT encoder)
+# ---------------------------------------------------------------------------
+
+def test_grace_gcn_matches_torch(tiny_data, tiny_graph):
+    from recommendation_tpu.models.grace import GRACE
+
+    config = default_config(**{"embedding.size": 8, "GRACE.hidden": 8})
+    model = GRACE(config)
+    params, _ = model.init(jax.random.PRNGKey(2), tiny_graph)
+
+    rng = np.random.default_rng(2)
+    n = tiny_graph.n_nodes
+    x = rng.normal(size=(n, 8)).astype(np.float32)
+    probe = rng.normal(size=(n, 8)).astype(np.float32)
+
+    def ours(x, convs):
+        p = dict(params)
+        p["convs"] = convs
+        z = model._gcn(p, x, tiny_graph.norm_adj_selfloops)
+        return jnp.sum(z * probe), z
+
+    (_, got), g_ours = jax.value_and_grad(ours, argnums=(0, 1), has_aux=True)(
+        jnp.asarray(x), params["convs"]
+    )
+
+    # independent Â = D^-1/2 (A + I) D^-1/2 in numpy
+    a = np.asarray(tiny_data.ui_adj.todense(), dtype=np.float64) + np.eye(n)
+    dinv = 1.0 / np.sqrt(a.sum(1))
+    a_hat = torch.tensor((a * dinv[:, None] * dinv[None, :]).astype(np.float32))
+    tx = torch.tensor(x, requires_grad=True)
+    tws = [
+        (torch.tensor(np.asarray(c["w"]), requires_grad=True),
+         torch.tensor(np.asarray(c["b"]), requires_grad=True))
+        for c in params["convs"]
+    ]
+    z = tx
+    for tw, tb in tws:
+        z = torch.relu(a_hat @ (z @ tw) + tb)  # GCNConv: bias after Â(xW)
+    (z * torch.tensor(probe)).sum().backward()
+
+    _grads_close(got, z.detach().numpy())
+    _grads_close(g_ours[0], tx.grad.numpy())
+    for gc, (tw, tb) in zip(g_ours[1], tws):
+        _grads_close(gc["w"], tw.grad.numpy())
+        _grads_close(gc["b"], tb.grad.numpy())
+
+
+# ---------------------------------------------------------------------------
+# GIN conv stack + BatchNorm + projection head (BGRL encoder)
+# ---------------------------------------------------------------------------
+
+def test_bgrl_gin_matches_torch(tiny_data, tiny_graph):
+    from recommendation_tpu.models.bgrl import BGRL
+
+    config = default_config(**{"embedding.size": 8, "BGRL.hidden": 8})
+    model = BGRL(config)
+    params, _ = model.init(jax.random.PRNGKey(3), tiny_graph)
+    enc = params["online"]
+    adj01 = binarized(tiny_graph.norm_adj)
+
+    rng = np.random.default_rng(3)
+    n = tiny_graph.n_nodes
+    x = rng.normal(size=(n, 8)).astype(np.float32)
+    probe_z = rng.normal(size=(n, 8)).astype(np.float32)
+    probe_p = rng.normal(size=(n, 8)).astype(np.float32)
+
+    def ours(x, enc):
+        z, p = model._gin(enc, x, adj01)
+        return jnp.sum(z * probe_z) + jnp.sum(p * probe_p), (z, p)
+
+    (_, (got_z, got_p)), g_ours = jax.value_and_grad(
+        ours, argnums=(0, 1), has_aux=True
+    )(jnp.asarray(x), enc)
+
+    a01 = torch.tensor(
+        (np.asarray(tiny_data.ui_adj.todense()) != 0).astype(np.float32)
+    )
+    tx = torch.tensor(x, requires_grad=True)
+
+    def t(arr, grad=True):
+        return torch.tensor(np.asarray(arr), requires_grad=grad)
+
+    tconvs = [
+        {k: (t(c[k]["w"]), t(c[k]["b"])) for k in ("mlp1", "mlp2")}
+        for c in enc["convs"]
+    ]
+    tproj = (t(enc["proj"]["w"]), t(enc["proj"]["b"]))
+
+    def bn(v):  # torch BatchNorm1d at init (weight 1, bias 0), biased var
+        return (v - v.mean(0)) / torch.sqrt(v.var(0, unbiased=False) + 1e-5)
+
+    z = tx
+    for c in tconvs:
+        agg = z + a01 @ z  # GINConv eps=0: (1+eps)x + sum_N x
+        h = torch.relu(agg @ c["mlp1"][0] + c["mlp1"][1])
+        z = torch.relu(h @ c["mlp2"][0] + c["mlp2"][1])
+    z = bn(z)
+    p = bn(z @ tproj[0] + tproj[1])
+    p = torch.nn.functional.prelu(p, torch.tensor(float(enc["prelu"])).reshape(1))
+    scalar = (z * torch.tensor(probe_z)).sum() + (p * torch.tensor(probe_p)).sum()
+    scalar.backward()
+
+    _grads_close(got_z, z.detach().numpy(), atol=5e-4)
+    _grads_close(got_p, p.detach().numpy(), atol=5e-4)
+    _grads_close(g_ours[0], tx.grad.numpy(), atol=5e-4)
+    _grads_close(g_ours[1]["convs"][0]["mlp1"]["w"],
+                 tconvs[0]["mlp1"][0].grad.numpy(), atol=5e-4)
+    _grads_close(g_ours[1]["proj"]["w"], tproj[0].grad.numpy(), atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# MHCN gated multi-channel hypergraph forward
+# ---------------------------------------------------------------------------
+
+def test_mhcn_forward_matches_torch(tiny_data, tiny_social_graph):
+    from recommendation_tpu.data.social import mhcn_hypergraph_channels
+    from recommendation_tpu.models.mhcn import MHCN
+
+    config = default_config(**{"embedding.size": 8, "MHCN.n_layer": 2})
+    model = MHCN(config)
+    params, _ = model.init(jax.random.PRNGKey(4), tiny_social_graph)
+
+    rng = np.random.default_rng(4)
+    nu, ni = tiny_data.user_num, tiny_data.item_num
+    probe_u = rng.normal(size=(nu, 8)).astype(np.float32)
+    probe_i = rng.normal(size=(ni, 8)).astype(np.float32)
+
+    def ours(ue, ie):
+        p = dict(params)
+        p["user_emb"], p["item_emb"] = ue, ie
+        fu, fi = model._forward(p, tiny_social_graph)
+        return jnp.sum(fu * probe_u) + jnp.sum(fi * probe_i), (fu, fi)
+
+    (_, (got_u, got_i)), g_ours = jax.value_and_grad(
+        ours, argnums=(0, 1), has_aux=True
+    )(params["user_emb"], params["item_emb"])
+
+    # torch replica of `univariate/mhcn.py:395-470`
+    S = tiny_social_graph.relation.get_social_mat()
+    Y = tiny_data.interaction_mat
+    hs, hj, hp = mhcn_hypergraph_channels(S, Y, purchase_threshold=3)
+    rowsum = np.asarray(Y.sum(1)).flatten()
+    rnorm = Y.multiply(np.where(rowsum > 0, 1.0 / np.maximum(rowsum, 1), 0.0)[:, None])
+    th = {k: torch.tensor(np.asarray(m.todense(), np.float32))
+          for k, m in {"s": hs, "j": hj, "p": hp}.items()}
+    tr = torch.tensor(np.asarray(rnorm.todense(), np.float32))
+
+    tue = torch.tensor(np.asarray(params["user_emb"]), requires_grad=True)
+    tie = torch.tensor(np.asarray(params["item_emb"]), requires_grad=True)
+    gw = [torch.tensor(np.asarray(w)) for w in params["gating_w"]]
+    gb = [torch.tensor(np.asarray(b)) for b in params["gating_b"]]
+    att = torch.tensor(np.asarray(params["attention"]))
+    att_m = torch.tensor(np.asarray(params["attention_mat"]))
+
+    def gate(em, c):
+        return em * torch.sigmoid(em @ gw[c] + gb[c])
+
+    def channel_attention(*chans):
+        ws = [ (att * (c @ att_m)).sum(1) for c in chans ]
+        score = torch.softmax(torch.stack(ws), dim=0)
+        return sum(score[i].reshape(-1, 1) * chans[i] for i in range(len(chans))), score
+
+    def l2n(v):
+        return torch.nn.functional.normalize(v, p=2, dim=1)
+
+    u1, u2, u3 = gate(tue, 0), gate(tue, 1), gate(tue, 2)
+    simple = gate(tue, 3)
+    a1, a2, a3, asmp = [u1], [u2], [u3], [simple]
+    item = tie
+    ai = [item]
+    for _ in range(2):
+        mixed, _ = channel_attention(u1, u2, u3)
+        mixed = mixed + simple / 2
+        u1 = th["s"] @ u1; a1.append(l2n(u1))
+        u2 = th["j"] @ u2; a2.append(l2n(u2))
+        u3 = th["p"] @ u3; a3.append(l2n(u3))
+        new_item = tr.T @ mixed; ai.append(l2n(new_item))
+        simple = tr @ item; asmp.append(l2n(simple))
+        item = new_item
+    c1 = torch.stack(a1).sum(0); c2 = torch.stack(a2).sum(0)
+    c3 = torch.stack(a3).sum(0); cs = torch.stack(asmp).sum(0)
+    fi = torch.stack(ai).sum(0)
+    fu, _ = channel_attention(c1, c2, c3)
+    fu = fu + cs / 2
+    ((fu * torch.tensor(probe_u)).sum() + (fi * torch.tensor(probe_i)).sum()).backward()
+
+    _grads_close(got_u, fu.detach().numpy(), atol=5e-4)
+    _grads_close(got_i, fi.detach().numpy(), atol=5e-4)
+    _grads_close(g_ours[0], tue.grad.numpy(), atol=5e-4)
+    _grads_close(g_ours[1], tie.grad.numpy(), atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# DiffNet forward
+# ---------------------------------------------------------------------------
+
+def test_diffnet_forward_matches_torch(tiny_data, tiny_social_graph):
+    from recommendation_tpu.models.diffnet import DiffNet
+
+    config = default_config(**{"embedding.size": 8, "DiffNet.n_layer": 2})
+    model = DiffNet(config)
+    params, _ = model.init(jax.random.PRNGKey(5), tiny_social_graph)
+
+    rng = np.random.default_rng(5)
+    nu = tiny_data.user_num
+    probe = rng.normal(size=(nu, 8)).astype(np.float32)
+
+    def ours(ue, ie, ws):
+        p = {"user_emb": ue, "item_emb": ie, "weights": ws}
+        fu, fi = model._forward(p, tiny_social_graph)
+        return jnp.sum(fu * probe), fu
+
+    (_, got), g_ours = jax.value_and_grad(ours, argnums=(0, 1, 2), has_aux=True)(
+        params["user_emb"], params["item_emb"], params["weights"]
+    )
+
+    # torch replica of `univariate/diffnet.py:1124-1132`; S entries are
+    # 1/|followees| (`:1070-1077`) == row-normalized trust; A entries are
+    # 1/|trainSet_u| (`:1030-1037`) == row-normalized interactions
+    S = tiny_social_graph.relation.get_social_mat()
+    srow = np.asarray(S.sum(1)).flatten()
+    s_norm = S.multiply(np.where(srow > 0, 1.0 / np.maximum(srow, 1), 0.0)[:, None])
+    Y = tiny_data.interaction_mat
+    yrow = np.asarray(Y.sum(1)).flatten()
+    a_norm = Y.multiply(np.where(yrow > 0, 1.0 / np.maximum(yrow, 1), 0.0)[:, None])
+    ts = torch.tensor(np.asarray(s_norm.todense(), np.float32))
+    ta = torch.tensor(np.asarray(a_norm.todense(), np.float32))
+
+    tue = torch.tensor(np.asarray(params["user_emb"]), requires_grad=True)
+    tie = torch.tensor(np.asarray(params["item_emb"]), requires_grad=True)
+    tws = [torch.tensor(np.asarray(w), requires_grad=True) for w in params["weights"]]
+    u = tue
+    for k in range(2):
+        u = torch.relu(torch.cat([ts @ u, u], dim=1) @ tws[k])
+    fu = u + ta @ tie
+    (fu * torch.tensor(probe)).sum().backward()
+
+    _grads_close(got, fu.detach().numpy(), atol=5e-4)
+    _grads_close(g_ours[0], tue.grad.numpy(), atol=5e-4)
+    _grads_close(g_ours[1], tie.grad.numpy(), atol=5e-4)
+    for g, t in zip(g_ours[2], tws):
+        _grads_close(g, t.grad.numpy(), atol=5e-4)
