@@ -49,6 +49,21 @@ def bce_loss(user_emb: jnp.ndarray, pos_emb: jnp.ndarray, neg_emb: jnp.ndarray) 
     )
 
 
+def pointwise_bce_loss(
+    scores: jnp.ndarray, labels: jnp.ndarray, weight: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """Weighted BCE over labeled (user, item, y) scores — the loss the
+    pointwise batcher feeds (`univariate/diffnet.py:968-991` emits y∈{0,1}
+    rows; DeepRecommender-style training optimizes their cross-entropy).
+    ``weight`` masks padding rows."""
+    per_row = (
+        jnp.maximum(scores, 0) - scores * labels + jnp.log1p(jnp.exp(-jnp.abs(scores)))
+    )
+    if weight is None:
+        return jnp.mean(per_row)
+    return jnp.sum(per_row * weight) / jnp.maximum(jnp.sum(weight), 1.0)
+
+
 def safe_frobenius_norm(x: jnp.ndarray) -> jnp.ndarray:
     """||x||_F with a zero-safe gradient (same NaN class as _l2_normalize:
     d||x||/dx = x/||x|| is 0/0 at x = 0; the reference's torch.norm has the

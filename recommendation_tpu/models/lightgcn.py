@@ -16,10 +16,10 @@ import jax
 import jax.numpy as jnp
 
 from recommendation_tpu.graph.device import DeviceAdj, DeviceGraph
-from recommendation_tpu.losses import bce_loss, bpr_loss, l2_reg_loss
+from recommendation_tpu.losses import bce_loss, bpr_loss, l2_reg_loss, pointwise_bce_loss
 from recommendation_tpu.models.base import Model
 from recommendation_tpu.ops.spmm import adj_matmul
-from recommendation_tpu.sampling import PairwiseBatch, sample_negatives
+from recommendation_tpu.sampling import PairwiseBatch, sample_negatives, sample_pointwise
 
 
 def lightgcn_propagate(
@@ -101,6 +101,21 @@ class LightGCN(Model):
 
     def loss(self, params, state, batch: PairwiseBatch, graph: DeviceGraph, rng):
         user_all, item_all = self.propagate(params, graph)
+
+        if self.loss_type == "pointwise":
+            # DeepRecommender-style labeled-rows path: 1 positive + n_negs
+            # y=0 rows per edge (`univariate/diffnet.py:968-991`), BCE over
+            # the scores. ``Pointwise.n_negs`` defaults to the reference's 4.
+            k = int(self.config.get("Pointwise.n_negs", 4))
+            pw = sample_pointwise(rng, graph, batch.users, batch.pos_items,
+                                  n_negs=k, weight=batch.weight)
+            u = user_all[pw.users]
+            it = item_all[pw.items]
+            scores = jnp.sum(u * it, axis=1)
+            rank = pointwise_bce_loss(scores, pw.labels, pw.weight)
+            reg = l2_reg_loss(self.reg, u, it) / batch.users.shape[0]
+            return rank + reg, state
+
         u = user_all[batch.users]
         pos = item_all[batch.pos_items]
 

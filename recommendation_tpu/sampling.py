@@ -33,6 +33,17 @@ class PairwiseBatch(NamedTuple):
     weight: jnp.ndarray  # f32[B] 1.0 for real rows, 0.0 for padding
 
 
+class PointwiseBatch(NamedTuple):
+    """Labeled (user, item, y) rows — the `next_batch_pointwise` contract
+    (`univariate/diffnet.py:968-991`): each positive edge contributes one
+    y=1 row and ``n_negs`` y=0 rows."""
+
+    users: jnp.ndarray  # i32[B*(1+n_negs)]
+    items: jnp.ndarray  # i32[B*(1+n_negs)]
+    labels: jnp.ndarray  # f32[B*(1+n_negs)] 1.0 positive / 0.0 negative
+    weight: jnp.ndarray  # f32[B*(1+n_negs)] 0.0 for padding rows
+
+
 def _is_positive(graph: DeviceGraph, users: jnp.ndarray, items: jnp.ndarray) -> jnp.ndarray:
     """bool[B]: does (u, i) appear in the train set?
 
@@ -110,6 +121,37 @@ def sample_negatives(
         neg = jnp.where(bad, redraw, neg)
     still_bad = _is_positive(graph, users, neg)
     return jnp.where(still_bad, fallback, neg)
+
+
+def sample_pointwise(
+    rng: jax.Array,
+    graph: DeviceGraph,
+    users: jnp.ndarray,
+    pos_items: jnp.ndarray,
+    n_negs: int = 4,
+    weight: jnp.ndarray | None = None,
+) -> PointwiseBatch:
+    """On-device `next_batch_pointwise` (`univariate/diffnet.py:968-991`):
+    1 positive + ``n_negs`` labeled negatives per training edge, with the
+    same never-a-train-positive guarantee as the pairwise path (each
+    negative column runs the masked-redraw + guaranteed-fallback sampler).
+
+    Layout is column-major blocks ([all positives; negs_1; ...; negs_k])
+    rather than the reference's interleaving — order is irrelevant to any
+    pointwise loss, and blocks keep the construct concat-only (static
+    shapes, no strided writes)."""
+    b = users.shape[0]
+    keys = jax.random.split(rng, n_negs)
+    negs = [sample_negatives(k, graph, users) for k in keys]
+    w = jnp.ones((b,), jnp.float32) if weight is None else weight
+    return PointwiseBatch(
+        users=jnp.concatenate([users] * (1 + n_negs)),
+        items=jnp.concatenate([pos_items, *negs]),
+        labels=jnp.concatenate(
+            [jnp.ones((b,), jnp.float32), jnp.zeros((b * n_negs,), jnp.float32)]
+        ),
+        weight=jnp.concatenate([w] * (1 + n_negs)),
+    )
 
 
 def shuffled_epoch(
