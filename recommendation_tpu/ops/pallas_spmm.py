@@ -16,12 +16,24 @@ than erroring, so configs remain forward-compatible with a future kernel.
 
 from __future__ import annotations
 
+import logging
+
 import jax.numpy as jnp
 
 from recommendation_tpu.graph.device import DeviceAdj
+
+_warned = False
 
 
 def pallas_spmm_or_fallback(adj: DeviceAdj, x: jnp.ndarray) -> jnp.ndarray:
     from recommendation_tpu.ops.spmm import _segment_matmul
 
+    global _warned
+    if not _warned:  # once per process — this runs inside traced code paths
+        _warned = True
+        logging.getLogger("recommendation_tpu").warning(
+            "graph.backend='pallas': no hand-tiled SpMM kernel exists on this "
+            "toolchain (Mosaic gather limits, DESIGN.md §2.4) — running the "
+            "segment backend instead"
+        )
     return _segment_matmul(adj, x)

@@ -107,28 +107,42 @@ class MicroBatcher:
 
     def _run(self):
         while not self._stop.is_set():
-            wave = self._drain_wave()
-            if not wave:
-                continue
-            # stats are only touched on this thread — no lock needed
-            self.stats["requests"] += len(wave)
-            groups: Dict[tuple, List[_Pending]] = {}
-            for p in wave:
-                groups.setdefault((p.k, p.exclude_seen), []).append(p)
-            for (k, excl), members in groups.items():
-                flat: List[int] = []
+            wave: List[_Pending] = []
+            try:
+                wave = self._drain_wave()
+                if not wave:
+                    continue
+                self._serve_wave(wave)
+            except Exception as e:
+                # A failure outside the per-group guard (drain / grouping /
+                # result slicing) must not kill the dispatcher silently —
+                # that would strand every later submit() on its 60 s future
+                # timeout with no BatcherClosed fallback. Fail this wave's
+                # futures and keep serving.
+                for p in wave:
+                    if not p.future.done():
+                        p.future.set_exception(e)
+
+    def _serve_wave(self, wave: List[_Pending]):
+        # stats are only touched on this thread — no lock needed
+        self.stats["requests"] += len(wave)
+        groups: Dict[tuple, List[_Pending]] = {}
+        for p in wave:
+            groups.setdefault((p.k, p.exclude_seen), []).append(p)
+        for (k, excl), members in groups.items():
+            flat: List[int] = []
+            for p in members:
+                flat.extend(p.user_ids)
+            try:
+                scores, ids = self.service._recommend_ids_device(flat, k, excl)
+                self.stats["device_calls"] += 1
+                self.stats["users"] += len(flat)
+                off = 0
                 for p in members:
-                    flat.extend(p.user_ids)
-                try:
-                    scores, ids = self.service._recommend_ids_device(flat, k, excl)
-                    self.stats["device_calls"] += 1
-                    self.stats["users"] += len(flat)
-                    off = 0
-                    for p in members:
-                        n = len(p.user_ids)
-                        p.future.set_result((scores[off:off + n], ids[off:off + n]))
-                        off += n
-                except Exception as e:  # propagate to every waiter in the group
-                    for p in members:
-                        if not p.future.done():
-                            p.future.set_exception(e)
+                    n = len(p.user_ids)
+                    p.future.set_result((scores[off:off + n], ids[off:off + n]))
+                    off += n
+            except Exception as e:  # propagate to every waiter in the group
+                for p in members:
+                    if not p.future.done():
+                        p.future.set_exception(e)

@@ -277,7 +277,18 @@ def make_multi_epoch_fn(
             mean_loss = jnp.where(jnp.any(finite), mean_loss, jnp.nan)
             return (params, opt_state, state), mean_loss
 
-        if rng.ndim == 2:  # stacked per-epoch keys from the trainer
+        # Stacked per-epoch keys from the trainer vs a single key to split:
+        # legacy uint32 keys are shape [2] (single) / [n, 2] (stacked); typed
+        # PRNG keys are shape [] / [n]. Dispatch on the key-data ndim so a
+        # typed stacked array is never silently re-split as one key (which
+        # would break the fused==unfused bit-identity guarantee).
+        single_ndim = 0 if jnp.issubdtype(rng.dtype, jax.dtypes.prng_key) else 1
+        if rng.ndim == single_ndim + 1:
+            if rng.shape[0] != n_epochs:
+                raise ValueError(
+                    f"stacked epoch keys have length {rng.shape[0]}, "
+                    f"expected n_epochs={n_epochs}"
+                )
             epoch_rngs = rng
         else:
             epoch_rngs = jax.random.split(rng, n_epochs)

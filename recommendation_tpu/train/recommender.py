@@ -82,9 +82,12 @@ class GraphRecommender:
 
     def print_model_info(self):
         u, i, e = self.data.training_size()
+        backend = self.graph.backend
+        if backend == "pallas":  # honest config surface: no kernel exists yet
+            backend = "pallas(->segment fallback)"
         self.log.add(
             f"model={self.model.name} users={u} items={i} interactions={e} "
-            f"backend={self.graph.backend} emb={self.model.emb_size}"
+            f"backend={backend} emb={self.model.emb_size}"
         )
 
     def build(self):
@@ -168,13 +171,17 @@ class GraphRecommender:
         # execution times) — fusing big epochs is a loss twice over.
         fuse_below = int(self.config.get("train.fuse_below_steps", 64))
         max_steps = int(self.config.get("train.max_fused_steps", 1024))
+        # weight by per-step edge cost — the same factor the auto-chunk gate
+        # uses — so a short-epoch/large-graph config can't fuse a block whose
+        # wall-clock approaches the ~1-2 min device watchdog
+        cost_weight = max(1, -(-self.graph.n_edges // 1_000_000))
         return (
             self.eval_interval > 1
             and type(self.model).epoch_begin is Model.epoch_begin
             and self._bold is None
             and self.config.get("convergence.eps", None) is None
             and n_batches <= fuse_below
-            and n_batches * self.eval_interval <= max_steps
+            and n_batches * self.eval_interval * cost_weight <= max_steps
         )
 
     def _fused_fn(self, n_epochs: int):
