@@ -191,6 +191,46 @@ def mirrored_transpose(csr: BucketedCSR, e_half: int) -> BucketedCSR:
     )
 
 
+def slot_maps(csr: BucketedCSR, n_rows: int):
+    """Static edge↔slot maps for scatter-free backward passes over per-slot
+    data (the bucketed GAT VJP, `models/gat.py`).
+
+    Returns ``(pos_map, slot_node, node_of_row)`` as device i32 arrays:
+      * ``pos_map[e]``  — flat slot position (concat of all buckets, row-major
+        within each) of COO edge ``e`` in THIS structure's tables;
+      * ``slot_node[s]`` — destination node id of flat slot ``s``;
+      * ``node_of_row[r]`` — destination node id of concat row ``r`` (the
+        inverse of ``gather_pos``; what ``bucketed_row_nodes`` computes on
+        device, here prebuilt on host).
+
+    With these, a transpose-structure pull can gather per-slot quantities
+    computed in forward layout (attention weights, logit cotangents) by edge
+    id — no scatter. Host-side one-shot, like :func:`build_bucketed`."""
+    edges, rows_of_slots = [], []
+    base = 0
+    for b in csr.buckets:
+        nb, cap = b.idx.shape
+        edges.append(np.asarray(b.edge).reshape(-1))
+        rows_of_slots.append(np.repeat(np.arange(base, base + nb, dtype=np.int64), cap))
+        base += nb
+    flat_edge = np.concatenate(edges) if edges else np.zeros(0, np.int64)
+    rowof = np.concatenate(rows_of_slots) if rows_of_slots else np.zeros(0, np.int64)
+    valid = flat_edge >= 0
+    n_coo = int(flat_edge[valid].max()) + 1 if valid.any() else 1
+    pos_map = np.zeros(n_coo, dtype=np.int64)
+    pos_map[flat_edge[valid]] = np.nonzero(valid)[0]
+    # node id per concat row (inverse of gather_pos; degree-0 nodes collide
+    # on the trailing zeros row — harmless, those slots are never gathered)
+    node_of_row = np.zeros(base + 1, dtype=np.int64)
+    node_of_row[np.asarray(csr.gather_pos)] = np.arange(n_rows)
+    slot_node = node_of_row[rowof]
+    return (
+        jnp.asarray(pos_map.astype(np.int32)),
+        jnp.asarray(slot_node.astype(np.int32)),
+        jnp.asarray(node_of_row.astype(np.int32)),
+    )
+
+
 def refresh_vals(csr: BucketedCSR, coo_vals: jnp.ndarray) -> BucketedCSR:
     """New BucketedCSR with values re-gathered from a (device) COO values
     vector — the augmentation path. Index structure untouched."""

@@ -13,6 +13,8 @@ incoming edges, with attention-weight dropout.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -62,14 +64,169 @@ def bucketed_row_nodes(csr, n_nodes):
     )
 
 
+def _real_slots(b):
+    """bool[nb, cap]: slots holding a REAL edge — non-padding (edge >= 0)
+    whose COO entry has a nonzero value (from_scipy pads the COO with
+    zero-valued entries that carry valid edge ids)."""
+    return (b.edge >= 0) & (b.val != 0)
+
+
+def _bucket_attention(csr, row_nodes, h, alpha_src, alpha_dst, neg_slope):
+    """Pre-dropout attention per bucket: list of [nb, cap, H] softmax
+    weights (zero on padding slots). Shared by the custom-VJP forward and
+    its backward recomputation."""
+    atts = []
+    off_r = 0
+    for b in csr.buckets:
+        nb = b.idx.shape[0]
+        dstn = row_nodes[off_r:off_r + nb]
+        off_r += nb
+        z = alpha_src[b.idx] + alpha_dst[dstn][:, None, :]  # [nb, cap, H]
+        e = jax.nn.leaky_relu(z, neg_slope)
+        real = _real_slots(b)[:, :, None]
+        e = jnp.where(real, e, -jnp.inf)
+        m = jnp.max(e, axis=1, keepdims=True)
+        m = jnp.where(jnp.isfinite(m), m, 0.0)
+        ex = jnp.where(real, jnp.exp(e - m), 0.0)
+        atts.append(ex / (jnp.sum(ex, axis=1, keepdims=True) + 1e-16))
+    return atts
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _attention_pull(neg_slope, drop_scale, csr, csr_t, aux, h, alpha_src, alpha_dst, keep):
+    """Scatter-free attention aggregation: out[n] = Σ_s att·h[neighbors(n)]
+    over the bucketed tables, with a custom VJP in which EVERY reverse flow
+    is a gather (VERDICT-r2 item 3; design from the round-2 docstring):
+
+      * ∂h  (message path)   = Aᵀ_att @ g   — pulled through the transpose
+        tables ``csr_t``, whose per-slot attention weights are GATHERED from
+        the forward layout by edge id (``aux['pos_map']``), never scattered;
+      * ∂α_src               = Aᵀ @ dz      — same transpose pull over the
+        logit cotangents;
+      * ∂α_dst               = row-sum of dz restored via ``gather_pos`` —
+        the same 1:1 gather the forward output uses.
+
+    ``keep`` is an optional f32[total_slots, H] dropout mask (None = no
+    attention dropout); ``drop_scale`` its 1/(1-p) rescale. ``aux`` carries
+    the static slot maps from ``graph.bucketed.slot_maps``."""
+    atts = _bucket_attention(csr, aux["node_of_row"], h, alpha_src, alpha_dst, neg_slope)
+    outs = []
+    off_s = 0
+    heads = alpha_src.shape[1]
+    for b, att in zip(csr.buckets, atts):
+        nb, cap = b.idx.shape
+        if keep is not None:
+            att = att * keep[off_s:off_s + nb * cap].reshape(nb, cap, heads) * drop_scale
+        off_s += nb * cap
+        outs.append(jnp.einsum("nch,nchd->nhd", att, h[b.idx]))
+    zero = jnp.zeros((1,) + outs[0].shape[1:], outs[0].dtype)
+    return jnp.concatenate(outs + [zero], axis=0)[csr.gather_pos]  # [N, H, d]
+
+
+def _attention_pull_fwd(neg_slope, drop_scale, csr, csr_t, aux, h, alpha_src, alpha_dst, keep):
+    out = _attention_pull(neg_slope, drop_scale, csr, csr_t, aux, h, alpha_src, alpha_dst, keep)
+    return out, (csr, csr_t, aux, h, alpha_src, alpha_dst, keep)
+
+
+def _attention_pull_bwd(neg_slope, drop_scale, res, g):
+    csr, csr_t, aux, h, alpha_src, alpha_dst, keep = res
+    heads, d = h.shape[1], h.shape[2]
+    row_nodes = aux["node_of_row"]
+    atts = _bucket_attention(csr, row_nodes, h, alpha_src, alpha_dst, neg_slope)
+
+    # ---- forward-layout pass: per-slot cotangents, all dense per bucket --
+    dz_parts, attd_parts, dadst_rows = [], [], []
+    off_r, off_s = 0, 0
+    for b, att in zip(csr.buckets, atts):
+        nb, cap = b.idx.shape
+        dstn = row_nodes[off_r:off_r + nb]
+        off_r += nb
+        kb = None
+        if keep is not None:
+            kb = keep[off_s:off_s + nb * cap].reshape(nb, cap, heads) * drop_scale
+        off_s += nb * cap
+        gb = g[dstn]  # [nb, H, d] — 1:1 gather (the VJP of out = concat[gather_pos])
+        hb = h[b.idx]  # [nb, cap, H, d] recomputed gather
+        datt_d = jnp.einsum("nhd,nchd->nch", gb, hb)
+        datt = datt_d if kb is None else datt_d * kb
+        att_d = att if kb is None else att * kb
+        # softmax backward along the cap axis (padding slots: att == 0 ⇒ 0)
+        de = att * (datt - jnp.sum(att * datt, axis=1, keepdims=True))
+        z = alpha_src[b.idx] + alpha_dst[dstn][:, None, :]
+        real = _real_slots(b)[:, :, None]
+        dz = jnp.where(real, de * jnp.where(z >= 0, 1.0, neg_slope), 0.0)
+        dadst_rows.append(jnp.sum(dz, axis=1))  # [nb, H]
+        dz_parts.append(dz.reshape(nb * cap, heads))
+        attd_parts.append(att_d.reshape(nb * cap, heads))
+    dz_flat = jnp.concatenate(dz_parts, axis=0)  # [S, H]
+    attd_flat = jnp.concatenate(attd_parts, axis=0)  # [S, H]
+    zero_h = jnp.zeros((1, heads), dz_flat.dtype)
+    dalpha_dst = jnp.concatenate(dadst_rows + [zero_h], axis=0)[csr.gather_pos]
+
+    # ---- transpose-layout pass: everything arrives by edge-id gather ------
+    pos_map, slot_node = aux["pos_map"], aux["slot_node"]
+    dh_rows, dasrc_rows = [], []
+    for bt in csr_t.buckets:
+        validt = _real_slots(bt)[:, :, None]
+        p = pos_map[jnp.maximum(bt.edge, 0)]  # [nbt, capt] forward slot ids
+        av = jnp.where(validt, attd_flat[p], 0.0)  # [nbt, capt, H]
+        gsl = g[slot_node[p]]  # [nbt, capt, H, d] — cotangent of each edge's dst
+        dh_rows.append(jnp.einsum("nch,nchd->nhd", av, gsl))
+        dzv = jnp.where(validt, dz_flat[p], 0.0)
+        dasrc_rows.append(jnp.sum(dzv, axis=1))
+    zero_hd = jnp.zeros((1, heads, d), dz_flat.dtype)
+    dh = jnp.concatenate(dh_rows + [zero_hd], axis=0)[csr_t.gather_pos]
+    dalpha_src = jnp.concatenate(dasrc_rows + [zero_h], axis=0)[csr_t.gather_pos]
+
+    from recommendation_tpu.graph.bucketed import _float0_zeros
+
+    return (
+        _float0_zeros(csr),
+        _float0_zeros(csr_t),
+        _float0_zeros(aux),
+        dh,
+        dalpha_src,
+        dalpha_dst,
+        None if keep is None else jnp.zeros_like(keep),
+    )
+
+
+_attention_pull.defvjp(_attention_pull_fwd, _attention_pull_bwd)
+
+
+def gat_layer_bucketed_sf(
+    x, csr, csr_t, aux, n_nodes, w, a_src, a_dst, heads, neg_slope, rng, att_drop
+):
+    """Scatter-free bucketed GAT conv: the projection/logit math runs under
+    normal autodiff (dense), aggregation goes through ``_attention_pull``'s
+    gather-only custom VJP. Numerics match :func:`gat_layer` (tested)."""
+    d = a_src.shape[1]
+    h = (x @ w).reshape(-1, heads, d)  # [N, H, d]
+    alpha_src = jnp.einsum("nhd,hd->nh", h, a_src)
+    alpha_dst = jnp.einsum("nhd,hd->nh", h, a_dst)
+    keep = None
+    drop_scale = 1.0
+    if rng is not None and att_drop > 0:
+        total_slots = sum(int(b.idx.shape[0]) * b.cap for b in csr.buckets)
+        keep = jax.random.bernoulli(
+            rng, 1.0 - att_drop, (total_slots, heads)
+        ).astype(jnp.float32)
+        drop_scale = 1.0 / (1.0 - att_drop)
+    out = _attention_pull(
+        neg_slope, drop_scale, csr, csr_t, aux, h, alpha_src, alpha_dst, keep
+    )
+    return out.reshape(n_nodes, heads * d)
+
+
 def gat_layer_bucketed(x, csr, row_nodes, n_nodes, w, a_src, a_dst, heads, neg_slope, rng, att_drop):
     """Multi-head GAT conv over the bucketed pull tables (`graph/bucketed.py`)
     — the large-graph attention path. The per-destination softmax becomes a
     DENSE masked softmax along each bucket's cap axis (padding slots carry
     ``edge == -1``), so the forward pass is gather-only: no segment_max /
-    segment_sum over edges. The backward still emits one scatter (autodiff
-    of the neighbor gather); a custom VJP through att-refreshed transpose
-    tables is the known follow-up if attention-at-scale becomes hot."""
+    segment_sum over edges. Under plain autodiff the backward emits a
+    scatter; the training path uses :func:`gat_layer_bucketed_sf` (custom
+    gather-only VJP) — this variant remains as the oracle it is tested
+    against and the fallback when no transpose tables exist."""
     d = a_src.shape[1]
     h = (x @ w).reshape(-1, heads, d)  # [N, H, d]
     alpha_src = jnp.einsum("nhd,hd->nh", h, a_src)  # [N, H]
@@ -140,9 +297,23 @@ class GAT(Model):
                 "a_dst": glorot(kb2, (1, d_out)),
             },
         }
-        return params, {}
+        state = {}
+        adj = graph.norm_adj
+        if adj.backend == "bucketed" and adj.pull is not None and adj.pull_t is not None:
+            # static slot maps for the scatter-free attention VJP — host-built
+            # once here (init runs outside jit), carried as (non-learned)
+            # state so the jitted loss can gather through them
+            from recommendation_tpu.graph.bucketed import slot_maps
 
-    def _forward(self, params, graph: DeviceGraph, rng=None):
+            pos_map, slot_node, node_of_row = slot_maps(adj.pull, graph.n_nodes)
+            state["att_aux"] = {
+                "pos_map": pos_map,
+                "slot_node": slot_node,
+                "node_of_row": node_of_row,
+            }
+        return params, state
+
+    def _forward(self, params, graph: DeviceGraph, rng=None, att_aux=None):
         adj = graph.norm_adj
         bucketed = adj.backend == "bucketed" and adj.pull is not None
         if not bucketed:
@@ -155,10 +326,20 @@ class GAT(Model):
             keep = jax.random.bernoulli(key, 1.0 - self.dropout, t.shape)
             return jnp.where(keep, t / (1.0 - self.dropout), 0.0)
 
-        row_nodes = bucketed_row_nodes(adj.pull, graph.n_nodes) if bucketed else None
+        scatter_free = bucketed and att_aux is not None and adj.pull_t is not None
+        row_nodes = (
+            bucketed_row_nodes(adj.pull, graph.n_nodes)
+            if bucketed and not scatter_free
+            else None
+        )
 
         def layer(x, p, heads, key):
             drop = self.edge_dropout if rng is not None else 0.0
+            if scatter_free:
+                return gat_layer_bucketed_sf(
+                    x, adj.pull, adj.pull_t, att_aux, graph.n_nodes,
+                    p["w"], p["a_src"], p["a_dst"], heads, self.neg_slope, key, drop,
+                )
             if bucketed:
                 return gat_layer_bucketed(
                     x, adj.pull, row_nodes, graph.n_nodes,
@@ -180,7 +361,7 @@ class GAT(Model):
         return x[: graph.n_users], x[graph.n_users :]
 
     def loss(self, params, state, batch: PairwiseBatch, graph: DeviceGraph, rng):
-        user_all, item_all = self._forward(params, graph, rng)
+        user_all, item_all = self._forward(params, graph, rng, att_aux=state.get("att_aux"))
         u = user_all[batch.users]
         pos = item_all[batch.pos_items]
         neg = item_all[batch.neg_items]
@@ -188,4 +369,4 @@ class GAT(Model):
         return loss, state
 
     def eval_embeddings(self, params, state, graph: DeviceGraph):
-        return self._forward(params, graph, rng=None)
+        return self._forward(params, graph, rng=None, att_aux=state.get("att_aux"))

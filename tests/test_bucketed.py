@@ -244,3 +244,108 @@ def test_gat_bucketed_ignores_coo_padding():
         outs[backend] = (np.asarray(ue), np.asarray(ie))
     assert np.allclose(outs["segment"][0], outs["bucketed"][0], atol=1e-4)
     assert np.allclose(outs["segment"][1], outs["bucketed"][1], atol=1e-4)
+
+
+def test_gat_scatter_free_vjp_matches_segment_grads(tiny_data):
+    """`gat_layer_bucketed_sf`'s custom VJP (VERDICT-r2 item 3) must produce
+    the SAME gradients as the segment-softmax layer (plain autodiff) for the
+    full 2-layer GAT loss — values AND grads, no dropout."""
+    from recommendation_tpu.config import default_config
+    from recommendation_tpu.models.gat import GAT
+    from recommendation_tpu.sampling import PairwiseBatch
+
+    config = default_config(**{
+        "embedding.size": 8, "GAT.hidden": 8, "GAT.num_heads": 2,
+    })
+    b = 64
+    rng = np.random.default_rng(0)
+    users = jnp.asarray(rng.integers(0, tiny_data.user_num, b).astype(np.int32))
+    pos = jnp.asarray(rng.integers(0, tiny_data.item_num, b).astype(np.int32))
+    neg = jnp.asarray(rng.integers(0, tiny_data.item_num, b).astype(np.int32))
+    batch = PairwiseBatch(users, pos, neg, jnp.ones((b,), jnp.float32))
+
+    grads, values = {}, {}
+    for backend in ("segment", "bucketed"):
+        graph = DeviceGraph(tiny_data, backend=backend)
+        model = GAT(config)
+        params, state = model.init(jax.random.PRNGKey(0), graph)
+        if backend == "bucketed":
+            assert "att_aux" in state  # the scatter-free path is active
+        val, g = jax.value_and_grad(
+            lambda p: model.loss(p, state, batch, graph, None)[0]
+        )(params)
+        values[backend], grads[backend] = float(val), g
+    assert np.isclose(values["segment"], values["bucketed"], atol=1e-5)
+    flat_s = jax.tree_util.tree_leaves(grads["segment"])
+    flat_b = jax.tree_util.tree_leaves(grads["bucketed"])
+    for gs, gb in zip(flat_s, flat_b):
+        np.testing.assert_allclose(np.asarray(gs), np.asarray(gb), atol=2e-4, rtol=2e-3)
+
+
+def test_gat_scatter_free_backward_hlo_has_no_scatter(tiny_data):
+    """The point of the custom VJP: the compiled gradient of the attention
+    LAYER contains no scatter op — the O(E·d) attention scatter that made
+    fwd+bwd ~3.2x fwd at Gowalla scale is gone. (The full model loss still
+    scatters for the [B, d] batch-row embedding gradients, like every other
+    model — that is the standard, batch-sized embedding update, not the
+    edge-sized attention backward.)"""
+    from recommendation_tpu.config import default_config
+    from recommendation_tpu.models.gat import GAT, gat_layer_bucketed_sf
+
+    config = default_config(**{
+        "embedding.size": 8, "GAT.hidden": 8, "GAT.num_heads": 2,
+    })
+    graph = DeviceGraph(tiny_data, backend="bucketed")
+    model = GAT(config)
+    params, state = model.init(jax.random.PRNGKey(0), graph)
+    aux = state["att_aux"]
+    adj = graph.norm_adj
+    n = graph.n_nodes
+    x = jnp.zeros((n, 8), jnp.float32)
+    p1 = params["gat1"]
+
+    def layer_loss(x, w, a_src, a_dst, rng):
+        out = gat_layer_bucketed_sf(
+            x, adj.pull, adj.pull_t, aux, n, w, a_src, a_dst,
+            heads=2, neg_slope=0.2, rng=rng, att_drop=0.5,
+        )
+        return jnp.sum(out ** 2)
+
+    grad_fn = jax.grad(layer_loss, argnums=(0, 1, 2, 3))
+    hlo = jax.jit(grad_fn).lower(
+        x, p1["w"], p1["a_src"], p1["a_dst"], jax.random.PRNGKey(1)
+    ).as_text()
+    assert "scatter" not in hlo
+
+
+def test_gat_scatter_free_dropout_trains_finite(tiny_data):
+    """Attention dropout through the custom VJP: gradients stay finite and
+    the dropout mask actually changes the loss."""
+    from recommendation_tpu.config import default_config
+    from recommendation_tpu.models.gat import GAT
+    from recommendation_tpu.sampling import PairwiseBatch
+
+    config = default_config(**{
+        "embedding.size": 8, "GAT.hidden": 8, "GAT.num_heads": 2,
+        "GAT.edge_dropout": 0.5, "GAT.dropout": 0.0,
+    })
+    graph = DeviceGraph(tiny_data, backend="bucketed")
+    model = GAT(config)
+    params, state = model.init(jax.random.PRNGKey(0), graph)
+    b = 64
+    rng = np.random.default_rng(1)
+    batch = PairwiseBatch(
+        jnp.asarray(rng.integers(0, tiny_data.user_num, b).astype(np.int32)),
+        jnp.asarray(rng.integers(0, tiny_data.item_num, b).astype(np.int32)),
+        jnp.asarray(rng.integers(0, tiny_data.item_num, b).astype(np.int32)),
+        jnp.ones((b,), jnp.float32),
+    )
+    vals = []
+    for seed in (1, 2):
+        val, g = jax.value_and_grad(
+            lambda p: model.loss(p, state, batch, graph, jax.random.PRNGKey(seed))[0]
+        )(params)
+        assert np.isfinite(float(val))
+        assert all(np.all(np.isfinite(np.asarray(t))) for t in jax.tree_util.tree_leaves(g))
+        vals.append(float(val))
+    assert vals[0] != vals[1]
