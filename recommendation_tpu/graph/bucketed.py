@@ -63,7 +63,7 @@ class Bucket:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["buckets", "gather_pos"],
+    data_fields=["buckets", "gather_pos", "node_of_row"],
     meta_fields=["n_rows", "n_cols"],
 )
 @dataclasses.dataclass
@@ -73,6 +73,15 @@ class BucketedCSR:
     # outputs; degree-0 rows point at the appended zeros row (== total rows)
     n_rows: int
     n_cols: int
+    # i32[total_rows + 1]: destination node of each concat row (inverse of
+    # gather_pos; the trailing zeros row carries an arbitrary id). Enables
+    # permuted-space chaining (`pull_rowspace`); None on structures built
+    # before round 3.
+    node_of_row: Optional[jnp.ndarray] = None
+
+    @property
+    def total_rows(self) -> int:
+        return sum(int(b.idx.shape[0]) for b in self.buckets)
 
 
 def _cap_for_degree(deg: np.ndarray, minimum: int) -> np.ndarray:
@@ -155,11 +164,14 @@ def build_bucketed(
         gather_pos[rows_in] = total_rows + np.arange(nb)
         total_rows += nb
     gather_pos[~nonzero] = total_rows  # the appended zeros row
+    node_of_row = np.zeros(total_rows + 1, dtype=np.int64)
+    node_of_row[gather_pos] = np.arange(n_rows)
     return BucketedCSR(
         buckets=tuple(buckets),
         gather_pos=jnp.asarray(gather_pos.astype(np.int32)),
         n_rows=n_rows,
         n_cols=n_cols,
+        node_of_row=jnp.asarray(node_of_row.astype(np.int32)),
     )
 
 
@@ -188,6 +200,7 @@ def mirrored_transpose(csr: BucketedCSR, e_half: int) -> BucketedCSR:
         gather_pos=csr.gather_pos,
         n_rows=csr.n_cols,
         n_cols=csr.n_rows,
+        node_of_row=csr.node_of_row,
     )
 
 
@@ -246,6 +259,7 @@ def refresh_vals(csr: BucketedCSR, coo_vals: jnp.ndarray) -> BucketedCSR:
         gather_pos=csr.gather_pos,
         n_rows=csr.n_rows,
         n_cols=csr.n_cols,
+        node_of_row=csr.node_of_row,
     )
 
 
@@ -259,6 +273,7 @@ def map_vals(csr: BucketedCSR, fn) -> BucketedCSR:
         gather_pos=csr.gather_pos,
         n_rows=csr.n_rows,
         n_cols=csr.n_cols,
+        node_of_row=csr.node_of_row,
     )
 
 
@@ -283,6 +298,73 @@ def pull(csr: BucketedCSR, x: jnp.ndarray, compute_dtype: str = "float32") -> jn
     zero = jnp.zeros((1, d), dtype=jnp.float32)
     concat = jnp.concatenate(outs + [zero], axis=0)
     return concat[csr.gather_pos]
+
+
+def pull_rowspace(csr: BucketedCSR, xp: jnp.ndarray) -> jnp.ndarray:
+    """Row-space pull: input AND output live in concat-row order, so chained
+    applications skip the per-layer ``concat[gather_pos]`` reorder (the
+    permuted-space propagation of DESIGN.md agenda #1). The node→row index
+    translation composes on the fly (``gather_pos[b.idx]`` — a 4 B/slot int
+    gather, ~1.5% of the row-gather traffic; no duplicate tables in HBM).
+
+    Degree-0 source nodes cannot appear as real edges; padding slots carry
+    ``val == 0``, so clamping their translated index in-bounds is exact."""
+    d = xp.shape[1]
+    xd = xp.astype(jnp.float32)
+    last = xp.shape[0] - 1
+    outs = []
+    for b in csr.buckets:
+        rows = jnp.minimum(csr.gather_pos[b.idx], last)
+        g = xd[rows]  # [nb, cap, d]
+        outs.append(jnp.sum(g * b.val[:, :, None], axis=1))
+    return jnp.concatenate(outs, axis=0)  # [total_rows, d]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def bucketed_chain_mean(
+    n_layers: int, fwd: BucketedCSR, bwd: BucketedCSR, x: jnp.ndarray
+) -> jnp.ndarray:
+    """Fused ``mean([x, Ax, A²x, ..])`` — the LightGCN readout — entirely in
+    permuted row space: one node→row gather in, ``n_layers`` row-space pulls,
+    one row→node restore out. Versus ``n_layers`` separate ``bucketed_matmul``
+    calls this removes ``2(n_layers-1)`` full-table reorders per train step
+    (fwd + the VJP's mirrored Horner chain through ``bwd``).
+
+    REQUIRES the pattern to be symmetric in its bucket layout (``fwd`` and
+    ``bwd`` share ``gather_pos``) so forward and backward chains live in the
+    same row space — from_scipy asserts this before enabling the path.
+    Like ``bucketed_matmul``, values get zero cotangents."""
+    rows = fwd.node_of_row[: fwd.total_rows]
+    xp = x[rows].astype(jnp.float32)
+    acc = jnp.zeros_like(xp)
+    cur = xp
+    for _ in range(n_layers):
+        cur = pull_rowspace(fwd, cur)
+        acc = acc + cur
+    zero = jnp.zeros((1, x.shape[1]), acc.dtype)
+    restored = jnp.concatenate([acc, zero], axis=0)[fwd.gather_pos]
+    return (x + restored) / (n_layers + 1.0)
+
+
+def _chain_fwd(n_layers, fwd, bwd, x):
+    return bucketed_chain_mean(n_layers, fwd, bwd, x), (fwd, bwd)
+
+
+def _chain_bwd(n_layers, res, g):
+    fwd, bwd = res
+    rows = fwd.node_of_row[: fwd.total_rows]
+    gp = g[rows].astype(jnp.float32)
+    # Horner: Σ_{l=1..L} (Aᵀ)^l gp  ==  Aᵀ(gp + Aᵀ(gp + ...))
+    s = jnp.zeros_like(gp)
+    for _ in range(n_layers):
+        s = pull_rowspace(bwd, s + gp)
+    zero = jnp.zeros((1, g.shape[1]), s.dtype)
+    restored = jnp.concatenate([s, zero], axis=0)[fwd.gather_pos]
+    dx = ((g + restored) / (n_layers + 1.0)).astype(g.dtype)
+    return (_float0_zeros(fwd), _float0_zeros(bwd), dx)
+
+
+bucketed_chain_mean.defvjp(_chain_fwd, _chain_bwd)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(3,))

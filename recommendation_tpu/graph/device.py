@@ -36,7 +36,7 @@ def _round_up(x: int, m: int) -> int:
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["rows", "cols", "vals", "dense", "pull", "pull_t"],
-    meta_fields=["n_rows", "n_cols", "backend", "compute_dtype", "rows_sorted"],
+    meta_fields=["n_rows", "n_cols", "backend", "compute_dtype", "rows_sorted", "sym_rowspace"],
 )
 @dataclasses.dataclass
 class DeviceAdj:
@@ -64,6 +64,10 @@ class DeviceAdj:
     rows_sorted: bool = False  # True -> segment_sum may use the sorted path
     pull: Optional["BucketedCSR"] = None  # bucketed tables of A
     pull_t: Optional["BucketedCSR"] = None  # bucketed tables of Aᵀ
+    # True when pull and pull_t share gather_pos (symmetric sparsity +
+    # degree layout) — the precondition for permuted-space chaining
+    # (`bucketed_chain_mean`); checked at build in from_scipy
+    sym_rowspace: bool = False
 
     @property
     def shape(self):
@@ -88,6 +92,7 @@ class DeviceAdj:
             rows_sorted=False,
             pull=self.pull_t,
             pull_t=self.pull,
+            sym_rowspace=self.sym_rowspace,
         )
 
 
@@ -136,6 +141,7 @@ def from_scipy(
     if backend == "dense":
         dense = jnp.asarray(np.asarray(mat.todense(), dtype=np.float32))
     pull = pull_t = None
+    sym_rowspace = False
     if backend == "bucketed":
         from recommendation_tpu.graph.bucketed import build_bucketed
 
@@ -145,6 +151,12 @@ def from_scipy(
         eids = np.arange(e_pad, dtype=np.int64)
         pull = build_bucketed(rows, cols, vals, n_rows, n_cols, edge_ids=eids)
         pull_t = build_bucketed(cols, rows, vals, n_cols, n_rows, edge_ids=eids)
+        # symmetric patterns (the normalized bipartite adjacency always is)
+        # put both directions in the same row space — the precondition for
+        # permuted-space chaining
+        sym_rowspace = n_rows == n_cols and bool(
+            np.array_equal(np.asarray(pull.gather_pos), np.asarray(pull_t.gather_pos))
+        )
     return DeviceAdj(
         rows=jnp.asarray(rows),
         cols=jnp.asarray(cols),
@@ -157,6 +169,7 @@ def from_scipy(
         rows_sorted=True,
         pull=pull,
         pull_t=pull_t,
+        sym_rowspace=sym_rowspace,
     )
 
 
@@ -182,6 +195,7 @@ def with_vals(adj: DeviceAdj, vals: jnp.ndarray) -> DeviceAdj:
         rows_sorted=adj.rows_sorted,
         pull=None if adj.pull is None else refresh_vals(adj.pull, vals),
         pull_t=None if adj.pull_t is None else refresh_vals(adj.pull_t, vals),
+        sym_rowspace=adj.sym_rowspace,
     )
 
 
@@ -452,4 +466,8 @@ class DeviceGraph:
             compute_dtype=self.compute_dtype,
             pull=pull,
             pull_t=pull_t,
+            # the mirrored transpose template shares gather_pos by
+            # construction, so the permuted-space chain stays available
+            # under augmentation
+            sym_rowspace=pull is not None,
         )

@@ -61,6 +61,21 @@ def lightgcn_propagate(
         return out + (layers,) if return_layers else out
 
     ego = jnp.concatenate([user_emb, item_emb], axis=0)
+    if (
+        not return_layers
+        and norm_adj.backend == "bucketed"
+        and norm_adj.pull is not None
+        and norm_adj.sym_rowspace
+        and norm_adj.pull.node_of_row is not None
+    ):
+        # permuted-space fused chain: layers stay in concat-row order, the
+        # per-layer table reorder disappears in both passes (custom VJP runs
+        # the mirrored Horner chain through pull_t) — `graph/bucketed.py::
+        # bucketed_chain_mean`
+        from recommendation_tpu.graph.bucketed import bucketed_chain_mean
+
+        mean = bucketed_chain_mean(n_layers, norm_adj.pull, norm_adj.pull_t, ego)
+        return mean[:n_users], mean[n_users:]
     layers = [ego]
     for _ in range(n_layers):
         ego = adj_matmul(norm_adj, ego)

@@ -349,3 +349,62 @@ def test_gat_scatter_free_dropout_trains_finite(tiny_data):
         assert all(np.all(np.isfinite(np.asarray(t))) for t in jax.tree_util.tree_leaves(g))
         vals.append(float(val))
     assert vals[0] != vals[1]
+
+
+def test_chain_mean_matches_unfused(tiny_data):
+    """Permuted-space fused chain (`bucketed_chain_mean`) == the unfused
+    mean-of-layers loop — values and gradients (DESIGN.md agenda #1)."""
+    from recommendation_tpu.graph.bucketed import bucketed_chain_mean
+
+    graph = DeviceGraph(tiny_data, backend="bucketed")
+    adj = graph.norm_adj
+    assert adj.sym_rowspace and adj.pull.node_of_row is not None
+    n = graph.n_nodes
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(n, 16)).astype(np.float32))
+    probe = jnp.asarray(np.random.default_rng(1).normal(size=(n, 16)).astype(np.float32))
+    L = 3
+
+    def fused(x):
+        out = bucketed_chain_mean(L, adj.pull, adj.pull_t, x)
+        return jnp.sum(out * probe), out
+
+    def unfused(x):
+        ego, acc = x, x
+        for _ in range(L):
+            ego = bucketed_matmul(adj.pull, adj.pull_t, ego)
+            acc = acc + ego
+        out = acc / (L + 1.0)
+        return jnp.sum(out * probe), out
+
+    (_, got), g_f = jax.value_and_grad(fused, has_aux=True)(x)
+    (_, want), g_u = jax.value_and_grad(unfused, has_aux=True)(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_u), atol=1e-5)
+
+
+def test_chain_mean_under_augmentation(tiny_data):
+    """The chain path survives on-device re-normalization (the refreshed
+    mirrored-transpose templates keep sym_rowspace) and still matches the
+    segment backend's dropped-adjacency propagation."""
+    from recommendation_tpu.graph.bucketed import bucketed_chain_mean
+    from recommendation_tpu.models.lightgcn import lightgcn_propagate
+
+    outs = {}
+    for backend in ("segment", "bucketed"):
+        graph = DeviceGraph(tiny_data, backend=backend)
+        keep = jnp.asarray(
+            (np.random.default_rng(7).random(np.asarray(graph.edge_valid).shape) > 0.3)
+            .astype(np.float32)
+        )
+        adj = graph.normalized_bipartite(keep)
+        if backend == "bucketed":
+            assert adj.sym_rowspace
+        ue = jnp.asarray(np.random.default_rng(2).normal(
+            size=(graph.n_users, 8)).astype(np.float32))
+        ie = jnp.asarray(np.random.default_rng(3).normal(
+            size=(graph.n_items, 8)).astype(np.float32))
+        outs[backend] = lightgcn_propagate(ue, ie, adj, 2)
+    np.testing.assert_allclose(
+        np.asarray(outs["segment"][0]), np.asarray(outs["bucketed"][0]), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(outs["segment"][1]), np.asarray(outs["bucketed"][1]), atol=1e-4)
