@@ -280,17 +280,20 @@ def map_vals(csr: BucketedCSR, fn) -> BucketedCSR:
 def pull(csr: BucketedCSR, x: jnp.ndarray, compute_dtype: str = "float32") -> jnp.ndarray:
     """Forward pull ``A @ x`` (gather + dense per-bucket reduction).
 
-    The gather always runs in f32: sub-32-bit row gathers hit a slow TPU
-    path (measured ON-CHIP at 2M edges, d=64: bf16 pull 36 ms vs f32 pull
-    8.2 ms — the opposite of the dense-matmul path, where bf16 halves HBM
-    traffic). ``compute_dtype`` is accepted for API symmetry with the dense
-    backend but deliberately ignored here."""
-    del compute_dtype  # see docstring — f32 gather is the fast path on TPU
+    The gather always runs on f32 WORDS: native sub-32-bit row gathers hit a
+    slow TPU path (measured ON-CHIP at 2M edges, d=64: bf16 pull 36 ms vs
+    f32 pull 8.2 ms — the opposite of the dense-matmul path). Under
+    ``compute_dtype='bfloat16'`` the rows are bf16 PAIRS bitcast-packed into
+    f32 words — half the gather bytes on the same fast path, f32
+    accumulation (the bucketed analogue of the dense backend's bf16 mode)."""
     d = x.shape[1]
-    xd = x.astype(jnp.float32)
+    packed = compute_dtype == "bfloat16"
+    xd = _pack_bf16_pairs(x) if packed else x.astype(jnp.float32)
     outs = []
     for b in csr.buckets:
-        g = xd[b.idx]  # [nb, cap, d] gather — the traffic
+        g = xd[b.idx]  # [nb, cap, d or d/2] gather — the traffic
+        if packed:
+            g = _unpack_bf16_pairs(g, d)
         # axis-reduce beats einsum here (~7% on-chip): XLA fuses the
         # val-broadcast multiply into the reduce's input, while the batched
         # matvec einsum materializes its operand separately
@@ -300,7 +303,27 @@ def pull(csr: BucketedCSR, x: jnp.ndarray, compute_dtype: str = "float32") -> jn
     return concat[csr.gather_pos]
 
 
-def pull_rowspace(csr: BucketedCSR, xp: jnp.ndarray) -> jnp.ndarray:
+def _pack_bf16_pairs(x: jnp.ndarray) -> jnp.ndarray:
+    """f32[N, d] → f32[N, ⌈d/2⌉] whose bits carry bf16 PAIRS. The gather
+    then moves half the bytes per slot while staying on the fast f32 gather
+    path (native sub-32-bit gathers measured 4× SLOWER on this TPU —
+    `pull` docstring). Zero-pads odd d."""
+    n, d = x.shape
+    xb = x.astype(jnp.bfloat16)
+    if d % 2:
+        xb = jnp.pad(xb, ((0, 0), (0, 1)))
+    return jax.lax.bitcast_convert_type(xb.reshape(n, -1, 2), jnp.float32)
+
+
+def _unpack_bf16_pairs(p: jnp.ndarray, d: int) -> jnp.ndarray:
+    """Inverse of :func:`_pack_bf16_pairs` on the gathered rows, upcast f32."""
+    b = jax.lax.bitcast_convert_type(p, jnp.bfloat16)
+    return b.reshape(*p.shape[:-1], -1)[..., :d].astype(jnp.float32)
+
+
+def pull_rowspace(
+    csr: BucketedCSR, xp: jnp.ndarray, compute_dtype: str = "float32"
+) -> jnp.ndarray:
     """Row-space pull: input AND output live in concat-row order, so chained
     applications skip the per-layer ``concat[gather_pos]`` reorder (the
     permuted-space propagation of DESIGN.md agenda #1). The node→row index
@@ -308,21 +331,32 @@ def pull_rowspace(csr: BucketedCSR, xp: jnp.ndarray) -> jnp.ndarray:
     gather, ~1.5% of the row-gather traffic; no duplicate tables in HBM).
 
     Degree-0 source nodes cannot appear as real edges; padding slots carry
-    ``val == 0``, so clamping their translated index in-bounds is exact."""
+    ``val == 0``, so clamping their translated index in-bounds is exact.
+
+    ``compute_dtype='bfloat16'`` gathers bf16 PAIRS packed in f32 words
+    (half the bytes per slot, still the fast f32 gather path), accumulating
+    in f32 — the bucketed analogue of the dense backend's bf16 MXU mode."""
     d = xp.shape[1]
-    xd = xp.astype(jnp.float32)
+    packed = compute_dtype == "bfloat16"
+    xd = _pack_bf16_pairs(xp) if packed else xp.astype(jnp.float32)
     last = xp.shape[0] - 1
     outs = []
     for b in csr.buckets:
         rows = jnp.minimum(csr.gather_pos[b.idx], last)
-        g = xd[rows]  # [nb, cap, d]
+        g = xd[rows]  # [nb, cap, d or d/2]
+        if packed:
+            g = _unpack_bf16_pairs(g, d)
         outs.append(jnp.sum(g * b.val[:, :, None], axis=1))
     return jnp.concatenate(outs, axis=0)  # [total_rows, d]
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0,))
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def bucketed_chain_mean(
-    n_layers: int, fwd: BucketedCSR, bwd: BucketedCSR, x: jnp.ndarray
+    n_layers: int,
+    compute_dtype: str,
+    fwd: BucketedCSR,
+    bwd: BucketedCSR,
+    x: jnp.ndarray,
 ) -> jnp.ndarray:
     """Fused ``mean([x, Ax, A²x, ..])`` — the LightGCN readout — entirely in
     permuted row space: one node→row gather in, ``n_layers`` row-space pulls,
@@ -339,25 +373,25 @@ def bucketed_chain_mean(
     acc = jnp.zeros_like(xp)
     cur = xp
     for _ in range(n_layers):
-        cur = pull_rowspace(fwd, cur)
+        cur = pull_rowspace(fwd, cur, compute_dtype)
         acc = acc + cur
     zero = jnp.zeros((1, x.shape[1]), acc.dtype)
     restored = jnp.concatenate([acc, zero], axis=0)[fwd.gather_pos]
     return (x + restored) / (n_layers + 1.0)
 
 
-def _chain_fwd(n_layers, fwd, bwd, x):
-    return bucketed_chain_mean(n_layers, fwd, bwd, x), (fwd, bwd)
+def _chain_fwd(n_layers, compute_dtype, fwd, bwd, x):
+    return bucketed_chain_mean(n_layers, compute_dtype, fwd, bwd, x), (fwd, bwd)
 
 
-def _chain_bwd(n_layers, res, g):
+def _chain_bwd(n_layers, compute_dtype, res, g):
     fwd, bwd = res
     rows = fwd.node_of_row[: fwd.total_rows]
     gp = g[rows].astype(jnp.float32)
     # Horner: Σ_{l=1..L} (Aᵀ)^l gp  ==  Aᵀ(gp + Aᵀ(gp + ...))
     s = jnp.zeros_like(gp)
     for _ in range(n_layers):
-        s = pull_rowspace(bwd, s + gp)
+        s = pull_rowspace(bwd, s + gp, compute_dtype)
     zero = jnp.zeros((1, g.shape[1]), s.dtype)
     restored = jnp.concatenate([s, zero], axis=0)[fwd.gather_pos]
     dx = ((g + restored) / (n_layers + 1.0)).astype(g.dtype)

@@ -74,7 +74,9 @@ def lightgcn_propagate(
         # bucketed_chain_mean`
         from recommendation_tpu.graph.bucketed import bucketed_chain_mean
 
-        mean = bucketed_chain_mean(n_layers, norm_adj.pull, norm_adj.pull_t, ego)
+        mean = bucketed_chain_mean(
+            n_layers, norm_adj.compute_dtype, norm_adj.pull, norm_adj.pull_t, ego
+        )
         return mean[:n_users], mean[n_users:]
     layers = [ego]
     for _ in range(n_layers):

@@ -365,7 +365,7 @@ def test_chain_mean_matches_unfused(tiny_data):
     L = 3
 
     def fused(x):
-        out = bucketed_chain_mean(L, adj.pull, adj.pull_t, x)
+        out = bucketed_chain_mean(L, "float32", adj.pull, adj.pull_t, x)
         return jnp.sum(out * probe), out
 
     def unfused(x):
@@ -408,3 +408,31 @@ def test_chain_mean_under_augmentation(tiny_data):
         np.asarray(outs["segment"][0]), np.asarray(outs["bucketed"][0]), atol=1e-4)
     np.testing.assert_allclose(
         np.asarray(outs["segment"][1]), np.asarray(outs["bucketed"][1]), atol=1e-4)
+
+
+def test_packed_bf16_pull_close_to_f32():
+    """compute_dtype='bfloat16' gathers bf16 pairs packed in f32 words —
+    results must match the f32 pull to bf16 precision, both node-space and
+    row-space/chained."""
+    from recommendation_tpu.graph.bucketed import bucketed_chain_mean
+
+    coo = _skewed_coo(seed=13)
+    adj = from_scipy(sp.csr_matrix(coo), backend="bucketed")
+    x = jnp.asarray(
+        np.random.default_rng(5).normal(size=(coo.shape[1], 9)).astype(np.float32)
+    )
+    exact = np.asarray(pull(adj.pull, x, "float32"))
+    packed = np.asarray(pull(adj.pull, x, "bfloat16"))
+    scale = np.abs(exact).max()
+    np.testing.assert_allclose(packed, exact, atol=2e-2 * scale)
+
+    # chained (symmetric square pattern needed): use a tiny graph's norm_adj
+    sym = sp.csr_matrix(coo @ coo.T)  # symmetric by construction
+    adj_s = from_scipy(sym, backend="bucketed")
+    assert adj_s.sym_rowspace
+    xs = jnp.asarray(
+        np.random.default_rng(6).normal(size=(sym.shape[0], 8)).astype(np.float32)
+    )
+    exact_c = np.asarray(bucketed_chain_mean(2, "float32", adj_s.pull, adj_s.pull_t, xs))
+    packed_c = np.asarray(bucketed_chain_mean(2, "bfloat16", adj_s.pull, adj_s.pull_t, xs))
+    np.testing.assert_allclose(packed_c, exact_c, atol=3e-2 * np.abs(exact_c).max())
