@@ -239,6 +239,136 @@ def _worker_train(out_path: Optional[str], ckpt_path: Optional[str] = None) -> f
     return final_loss
 
 
+def _worker_serve(out_path: Optional[str], ckpt_path: Optional[str] = None) -> None:
+    """Sharded serving across processes (VERDICT-r2 item 8): restore a
+    checkpointed embedding table, shard the item rows over a model axis that
+    SPANS hosts (the local-topk merge all-gather rides DCN), and answer the
+    same queries on every process. Saves (scores, ids) from process 0 for
+    the single-process equivalence check."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from recommendation_tpu.config import default_config
+    from recommendation_tpu.data.interaction import Interaction
+    from recommendation_tpu.data.synthetic import make_synthetic_dataset
+    from recommendation_tpu.graph.device import DeviceGraph
+    from recommendation_tpu.models.lightgcn import LightGCN
+    from recommendation_tpu.serve.service import RecommenderService
+
+    train, test = make_synthetic_dataset(
+        n_users=64, n_items=128, n_interactions=3000, seed=0
+    )
+    data = Interaction(train, test)
+    graph = DeviceGraph(data, backend="segment")
+
+    # deterministic "trained" embeddings, identical on every process
+    config = default_config(**{"embedding.size": 32})
+    model = LightGCN(config)
+    params, state = model.init(jax.random.PRNGKey(7), graph)
+    user_emb, item_emb = model.eval_embeddings(params, state, graph)
+    user_emb, item_emb = np.asarray(user_emb), np.asarray(item_emb)
+
+    # serving mesh: ALL devices on the model axis, crossing hosts
+    devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+    mesh = Mesh(np.array(devs).reshape(1, len(devs)), axis_names=(DATA_AXIS, MODEL_AXIS))
+
+    if ckpt_path:
+        # serve-from-restored-checkpoint: the table round-trips through a
+        # sharded orbax save before it ever reaches the service
+        import orbax.checkpoint as ocp
+
+        from recommendation_tpu.parallel.embedding import pad_rows_to
+
+        tab = NamedSharding(mesh, P(MODEL_AXIS, None))
+        sharded_items = put_global(pad_rows_to(item_emb, len(devs)), tab)
+        ckpt = ocp.PyTreeCheckpointer()
+        ckpt.save(ckpt_path, {"item_emb": sharded_items}, force=True)
+        restored = ckpt.restore(
+            ckpt_path,
+            args=ocp.args.PyTreeRestore(
+                item={"item_emb": sharded_items},
+                restore_args={
+                    "item_emb": ocp.ArrayRestoreArgs(sharding=tab)
+                },
+            ),
+        )["item_emb"]
+        item_emb = fetch_global(restored)[: item_emb.shape[0]]
+
+    service = RecommenderService(user_emb, item_emb, data, graph, mesh=mesh)
+    rng = np.random.default_rng(11)
+    uids = rng.integers(0, data.user_num, 16).tolist()
+    scores, ids = service.recommend_ids(uids, k=10, exclude_seen=True)
+    scores2, ids2 = service.recommend_ids(uids, k=10, exclude_seen=False)
+    assert np.all(np.isfinite(scores)) and np.all(np.isfinite(scores2))
+
+    if out_path and jax.process_index() == 0:
+        np.savez(out_path, scores=scores, ids=ids, scores_raw=scores2, ids_raw=ids2)
+    if jax.process_index() == 0:
+        print("SERVE ok")
+
+
+def dryrun_serve_multihost(n_processes: int = 2, local_devices: int = 4) -> None:
+    """2-process sharded serving must return ids identical to the
+    single-process mesh — the serve analogue of :func:`dryrun_multihost`."""
+    import socket
+    import subprocess
+    import sys
+    import tempfile
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    tmp = tempfile.mkdtemp(prefix="multihost_serve_")
+    procs = []
+    for pid in range(n_processes):
+        env = dict(
+            os.environ,
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS=f"--xla_force_host_platform_device_count={local_devices}",
+            JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+            JAX_NUM_PROCESSES=str(n_processes),
+            JAX_PROCESS_ID=str(pid),
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-m", "recommendation_tpu.parallel.distributed",
+                 "--worker", "--serve", "--out", os.path.join(tmp, "mp.npz"),
+                 "--ckpt", os.path.join(tmp, "ckpt_serve")],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            )
+        )
+    outs = [p.communicate(timeout=600)[0].decode() for p in procs]
+    for p, o in zip(procs, outs):
+        if p.returncode != 0:
+            raise RuntimeError(f"serve worker failed:\n{o}")
+    mp = np.load(os.path.join(tmp, "mp.npz"))
+
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS=f"--xla_force_host_platform_device_count={n_processes * local_devices}",
+    )
+    sp_out = os.path.join(tmp, "sp.npz")
+    r = subprocess.run(
+        [sys.executable, "-m", "recommendation_tpu.parallel.distributed",
+         "--worker", "--serve", "--single", "--out", sp_out],
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(f"single-process serve failed:\n{r.stdout}\n{r.stderr}")
+    sp = np.load(sp_out)
+    if not np.array_equal(mp["ids"], sp["ids"]):
+        raise AssertionError("multi-host serve ids diverged from single-process")
+    if not np.array_equal(mp["ids_raw"], sp["ids_raw"]):
+        raise AssertionError("multi-host raw-topk ids diverged from single-process")
+    if not np.allclose(mp["scores"], sp["scores"], atol=1e-5):
+        raise AssertionError("multi-host serve scores diverged")
+    print(
+        f"dryrun_serve_multihost ok: {n_processes} procs x {local_devices} devices, "
+        f"ids identical to single-process, served from a restored sharded checkpoint"
+    )
+
+
 def dp_steps(dp):
     """Per-step batch arrays are [n_steps, batch]: shard batch (axis 1)."""
     import jax
@@ -323,11 +453,13 @@ def _main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--worker", action="store_true")
     ap.add_argument("--single", action="store_true")
+    ap.add_argument("--serve", action="store_true")
     ap.add_argument("--out", default=None)
     ap.add_argument("--ckpt", default=None)
     args = ap.parse_args()
     if not args.worker:
         dryrun_multihost()
+        dryrun_serve_multihost()
         return
     import jax
 
@@ -335,6 +467,9 @@ def _main():
     if not args.single:
         jax.config.update("jax_cpu_collectives_implementation", "gloo")
         initialize()
+    if args.serve:
+        _worker_serve(args.out, args.ckpt)
+        return
     loss = _worker_train(args.out, args.ckpt)
     print(f"worker done: loss={loss:.5f}")
 

@@ -44,17 +44,21 @@ class RecommenderService:
         self.mesh = mesh
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
-            import jax
 
             from recommendation_tpu.ops.topk import train_edge_keys
+            from recommendation_tpu.parallel.distributed import put_global
             from recommendation_tpu.parallel.embedding import pad_rows_to
             from recommendation_tpu.parallel.mesh import MODEL_AXIS
 
             n_model = mesh.shape[MODEL_AXIS]
-            self._item_sharded = jax.device_put(
+            # put_global handles both the single-process mesh (plain
+            # device_put) and a multi-host mesh (per-process addressable
+            # shards assembled into one global array) — VERDICT-r2 item 8
+            self._item_sharded = put_global(
                 pad_rows_to(self.item_emb, n_model),
                 NamedSharding(mesh, P(MODEL_AXIS, None)),
             )
+            self._rep_sharding = NamedSharding(mesh, P())
             # immutable train-edge keys, precomputed + pre-sorted once so the
             # hot serving path never rebuilds the O(E) structure per request
             self._train_keys = np.sort(train_edge_keys(data.interaction_mat, data.item_num))
@@ -114,10 +118,12 @@ class RecommenderService:
         u = self.user_emb[uids]
         if self.mesh is not None:
             from recommendation_tpu.parallel.collectives import sharded_topk
+            from recommendation_tpu.parallel.distributed import fetch_global, put_global
 
+            u = put_global(np.asarray(u), self._rep_sharding)
             if not exclude_seen:
                 s, i = sharded_topk(u, self._item_sharded, k, self.mesh)
-                return np.asarray(s), np.asarray(i)
+                return fetch_global(s), fetch_global(i)
             # with exclusions: over-fetch past the heaviest requested user's
             # degree PLUS the zero-scoring padding rows from pad_rows_to
             # (they can displace real candidates), then mask post-merge with
@@ -131,7 +137,7 @@ class RecommenderService:
             n_pad = self._item_sharded.shape[0] - n_items
             kk = min(k + over + n_pad, self._item_sharded.shape[0])
             s, i = sharded_topk(u, self._item_sharded, kk, self.mesh)
-            i = np.asarray(i)
+            s, i = fetch_global(s), fetch_global(i)
             s = mask_seen_post_merge(s, i, uids, self._train_keys, n_items, MASK_VALUE)
             order = np.argsort(-s, axis=1)[:, :k]
             return np.take_along_axis(s, order, axis=1), np.take_along_axis(i, order, axis=1)

@@ -24,3 +24,12 @@ def test_hybrid_mesh_single_process_fallback():
     assert mesh.axis_names == (DATA_AXIS, MODEL_AXIS)
     assert mesh.shape[MODEL_AXIS] == 2
     assert mesh.devices.size == len(jax.devices())
+
+
+def test_two_process_serving_matches_single_process():
+    """Sharded serving over a model axis that spans hosts, from a restored
+    sharded checkpoint, returns ids identical to the single-process mesh
+    (VERDICT-r2 item 8)."""
+    from recommendation_tpu.parallel.distributed import dryrun_serve_multihost
+
+    dryrun_serve_multihost(n_processes=2, local_devices=4)
