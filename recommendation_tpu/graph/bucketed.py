@@ -285,15 +285,16 @@ def pull(csr: BucketedCSR, x: jnp.ndarray, compute_dtype: str = "float32") -> jn
     f32 pull 8.2 ms — the opposite of the dense-matmul path). Under
     ``compute_dtype='bfloat16'`` the rows are bf16 PAIRS bitcast-packed into
     f32 words — half the gather bytes on the same fast path, f32
-    accumulation (the bucketed analogue of the dense backend's bf16 mode)."""
+    accumulation (the bucketed analogue of the dense backend's bf16 mode).
+    ``'int8'`` packs quads with a per-row scale (~4× fewer bytes)."""
     d = x.shape[1]
-    packed = compute_dtype == "bfloat16"
-    xd = _pack_bf16_pairs(x) if packed else x.astype(jnp.float32)
+    packer = _PACKERS.get(compute_dtype)
+    xd = packer[0](x) if packer else x.astype(jnp.float32)
     outs = []
     for b in csr.buckets:
-        g = xd[b.idx]  # [nb, cap, d or d/2] gather — the traffic
-        if packed:
-            g = _unpack_bf16_pairs(g, d)
+        g = xd[b.idx]  # [nb, cap, d or packed width] gather — the traffic
+        if packer:
+            g = packer[1](g, d)
         # axis-reduce beats einsum here (~7% on-chip): XLA fuses the
         # val-broadcast multiply into the reduce's input, while the batched
         # matvec einsum materializes its operand separately
@@ -321,6 +322,35 @@ def _unpack_bf16_pairs(p: jnp.ndarray, d: int) -> jnp.ndarray:
     return b.reshape(*p.shape[:-1], -1)[..., :d].astype(jnp.float32)
 
 
+def _pack_int8_rows(x: jnp.ndarray) -> jnp.ndarray:
+    """f32[N, d] → f32[N, 1 + ⌈d/4⌉]: per-row symmetric int8 quantization
+    packed four-per-f32-word, the row's scale in word 0 — one f32 gather
+    moves scale + values together at ~4× fewer bytes than the exact path.
+    Propagation INPUTS are quantized (params and accumulation stay f32);
+    ranking quality must be validated per-task — config-gated, default off."""
+    n, d = x.shape
+    scale = jnp.maximum(jnp.max(jnp.abs(x), axis=1, keepdims=True), 1e-12) / 127.0
+    q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+    if d % 4:
+        q = jnp.pad(q, ((0, 0), (0, 4 - d % 4)))
+    words = jax.lax.bitcast_convert_type(q.reshape(n, -1, 4), jnp.float32)
+    return jnp.concatenate([scale, words], axis=1)
+
+
+def _unpack_int8_rows(p: jnp.ndarray, d: int) -> jnp.ndarray:
+    """Inverse of :func:`_pack_int8_rows` on gathered rows, upcast f32."""
+    scale = p[..., :1]
+    q = jax.lax.bitcast_convert_type(p[..., 1:], jnp.int8)
+    vals = q.reshape(*p.shape[:-1], -1)[..., :d].astype(jnp.float32)
+    return vals * scale
+
+
+_PACKERS = {
+    "bfloat16": (_pack_bf16_pairs, _unpack_bf16_pairs),
+    "int8": (_pack_int8_rows, _unpack_int8_rows),
+}
+
+
 def pull_rowspace(
     csr: BucketedCSR, xp: jnp.ndarray, compute_dtype: str = "float32"
 ) -> jnp.ndarray:
@@ -335,17 +365,18 @@ def pull_rowspace(
 
     ``compute_dtype='bfloat16'`` gathers bf16 PAIRS packed in f32 words
     (half the bytes per slot, still the fast f32 gather path), accumulating
-    in f32 — the bucketed analogue of the dense backend's bf16 MXU mode."""
+    in f32 — the bucketed analogue of the dense backend's bf16 MXU mode.
+    ``'int8'`` packs quads with a per-row scale (~4× fewer bytes)."""
     d = xp.shape[1]
-    packed = compute_dtype == "bfloat16"
-    xd = _pack_bf16_pairs(xp) if packed else xp.astype(jnp.float32)
+    packer = _PACKERS.get(compute_dtype)
+    xd = packer[0](xp) if packer else xp.astype(jnp.float32)
     last = xp.shape[0] - 1
     outs = []
     for b in csr.buckets:
         rows = jnp.minimum(csr.gather_pos[b.idx], last)
-        g = xd[rows]  # [nb, cap, d or d/2]
-        if packed:
-            g = _unpack_bf16_pairs(g, d)
+        g = xd[rows]  # [nb, cap, d or packed width]
+        if packer:
+            g = packer[1](g, d)
         outs.append(jnp.sum(g * b.val[:, :, None], axis=1))
     return jnp.concatenate(outs, axis=0)  # [total_rows, d]
 

@@ -436,3 +436,22 @@ def test_packed_bf16_pull_close_to_f32():
     exact_c = np.asarray(bucketed_chain_mean(2, "float32", adj_s.pull, adj_s.pull_t, xs))
     packed_c = np.asarray(bucketed_chain_mean(2, "bfloat16", adj_s.pull, adj_s.pull_t, xs))
     np.testing.assert_allclose(packed_c, exact_c, atol=3e-2 * np.abs(exact_c).max())
+
+
+def test_packed_int8_pull_bounded_error():
+    """compute_dtype='int8' (quad-packed rows + per-row scale): relative
+    error bounded by int8 resolution."""
+    coo = _skewed_coo(seed=17)
+    adj = from_scipy(sp.csr_matrix(coo), backend="bucketed")
+    x = jnp.asarray(
+        np.random.default_rng(8).normal(size=(coo.shape[1], 10)).astype(np.float32)
+    )
+    exact = np.asarray(pull(adj.pull, x, "float32"))
+    packed = np.asarray(pull(adj.pull, x, "int8"))
+    # per-row error ≤ (scale/2)·Σ|val| ≈ 0.4% of the row magnitude envelope
+    deg = np.asarray(np.abs(sp.csr_matrix(coo)).sum(axis=1)).flatten()
+    bound = (np.abs(np.asarray(x)).max(axis=1).max() / 127.0) * (deg.max() + 1)
+    assert np.abs(packed - exact).max() < bound
+    # and it is actually close in aggregate
+    rel = np.abs(packed - exact).max() / (np.abs(exact).max() + 1e-9)
+    assert rel < 0.02

@@ -91,7 +91,7 @@ def probe_b_packed_pull():
     from recommendation_tpu.graph.bucketed import pull
 
     x = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
-    for mode in ("float32", "bfloat16"):
+    for mode in ("float32", "bfloat16", "int8"):
 
         @jax.jit
         def run(x, mode=mode):
