@@ -9,6 +9,11 @@ The per-edge attention softmax (torch_scatter CUDA in PyG) runs as the
 ``segment_softmax`` TPU primitive (SURVEY.md §2.4 row 2): per-edge logits
 e_ij = LeakyReLU(aₛᵀWx_src + a_dᵀWx_dst), normalized over each destination's
 incoming edges, with attention-weight dropout.
+
+On the bucketed large-graph backend the softmax is a dense masked reduce
+along each bucket's cap axis and training runs through
+``gat_layer_bucketed_sf``'s custom VJP, in which every reverse flow is a
+gather (round-3; see `_attention_pull`).
 """
 
 from __future__ import annotations
