@@ -52,13 +52,21 @@ def lightgcn_propagate(
                 return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
         u, i = user_emb, item_emb
-        layers = [jnp.concatenate([u, i], axis=0)]
+        if return_layers:
+            layers = [jnp.concatenate([u, i], axis=0)]
+            for _ in range(n_layers):
+                u, i = mm(r, i), mm(r.T, u)
+                layers.append(jnp.concatenate([u, i], axis=0))
+            mean = jnp.mean(jnp.stack(layers), axis=0)
+            return (mean[:n_users], mean[n_users:], layers)
+        # hot path: accumulate the mean instead of materializing the
+        # [L+1, N, d] stack (same f32 sum, one buffer)
+        acc_u, acc_i = u, i
         for _ in range(n_layers):
             u, i = mm(r, i), mm(r.T, u)
-            layers.append(jnp.concatenate([u, i], axis=0))
-        mean = jnp.mean(jnp.stack(layers), axis=0)
-        out = (mean[:n_users], mean[n_users:])
-        return out + (layers,) if return_layers else out
+            acc_u, acc_i = acc_u + u, acc_i + i
+        inv = 1.0 / (n_layers + 1.0)
+        return acc_u * inv, acc_i * inv
 
     ego = jnp.concatenate([user_emb, item_emb], axis=0)
     if (
@@ -78,15 +86,19 @@ def lightgcn_propagate(
             n_layers, norm_adj.compute_dtype, norm_adj.pull, norm_adj.pull_t, ego
         )
         return mean[:n_users], mean[n_users:]
-    layers = [ego]
+    if return_layers:
+        layers = [ego]
+        for _ in range(n_layers):
+            ego = adj_matmul(norm_adj, ego)
+            layers.append(ego)
+        mean = jnp.mean(jnp.stack(layers), axis=0)
+        return (mean[:n_users], mean[n_users:], layers)
+    acc = ego
     for _ in range(n_layers):
         ego = adj_matmul(norm_adj, ego)
-        layers.append(ego)
-    mean = jnp.mean(jnp.stack(layers), axis=0)
-    out = (mean[:n_users], mean[n_users:])
-    if return_layers:
-        return out + (layers,)
-    return out
+        acc = acc + ego
+    mean = acc / (n_layers + 1.0)
+    return mean[:n_users], mean[n_users:]
 
 
 from recommendation_tpu.models.registry import register
