@@ -111,24 +111,37 @@ def probe_c_pallas_dma_gather():
 
     d = 64
     chunk = 4096  # rows gathered per kernel instance
-    x = jnp.ones((N_ROWS, d), jnp.float32)
+    # row i carries value i so a misrouted DMA is detectable
+    x = jnp.broadcast_to(
+        jnp.arange(N_ROWS, dtype=jnp.float32)[:, None], (N_ROWS, d)
+    ).copy()
     idx = jnp.asarray(
         np.random.default_rng(2).integers(0, N_ROWS, chunk).astype(np.int32)
     )
+    DEPTH = 8  # in-flight DMAs — measures pipelined issue rate, not latency
 
     def kernel(idx_ref, x_hbm, out_ref):
-        def body(sem):
-            def loop(i, _):
-                dma = pltpu.make_async_copy(
-                    x_hbm.at[idx_ref[i]], out_ref.at[i], sem
+        def body(sems):
+            def dma_for(i, slot):
+                return pltpu.make_async_copy(
+                    x_hbm.at[idx_ref[i]], out_ref.at[i], sems.at[slot]
                 )
-                dma.start()
-                dma.wait()
+
+            for i in range(DEPTH):
+                dma_for(i, i % DEPTH).start()
+
+            def loop(i, _):
+                dma_for(i, i % DEPTH).wait()
+
+                @pl.when(i + DEPTH < chunk)
+                def _():
+                    dma_for(i + DEPTH, (i + DEPTH) % DEPTH).start()
+
                 return _
 
             jax.lax.fori_loop(0, chunk, loop, None)
 
-        pl.run_scoped(body, pltpu.SemaphoreType.DMA(()))
+        pl.run_scoped(body, pltpu.SemaphoreType.DMA((DEPTH,)))
 
     try:
         from jax.experimental.pallas.tpu import PrefetchScalarGridSpec  # noqa: F401
@@ -163,9 +176,12 @@ def probe_c_pallas_dma_gather():
             f"{4 * d * chunk / t / 1e9:6.2f} GB/s",
             flush=True,
         )
-        # correctness spot check
+        # correctness spot check — row values are row ids, so any misrouted
+        # or dropped DMA shows up
         got = np.asarray(gathered(idx, x))
-        assert np.allclose(got, np.asarray(x)[np.asarray(idx)]), "DMA gather wrong"
+        assert np.array_equal(got[:, 0], np.asarray(idx).astype(np.float32)), (
+            "DMA gather wrong"
+        )
     except Exception as exc:  # toolchain limitation IS the result
         print(f"    -> UNAVAILABLE: {type(exc).__name__}: {exc}", flush=True)
 
