@@ -9,14 +9,17 @@ import subprocess
 import sys
 
 HERE = os.path.dirname(os.path.abspath(__file__))
-SRC = os.path.join(HERE, "src", "loader.cpp")
+SRCS = [
+    os.path.join(HERE, "src", "loader.cpp"),
+    os.path.join(HERE, "src", "bucketize.cpp"),
+]
 OUT = os.path.join(HERE, "librec_native.so")
 
 
 def build(verbose: bool = True) -> str:
     cmd = [
         "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-march=native",
-        SRC, "-o", OUT,
+        *SRCS, "-o", OUT,
     ]
     if verbose:
         print(" ".join(cmd))
