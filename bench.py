@@ -124,12 +124,15 @@ def roofline_main(data, examples_per_s: float, emb: int, layers: int, batch: int
 
 
 def roofline_large(examples_per_s: float, slots: int, n_nodes: int,
-                   emb: int, layers: int, batch: int):
+                   emb: int, layers: int, batch: int,
+                   compute_dtype: str = "float32"):
     """%-of-SOL for the bucketed gather path: memory-bound by construction.
-    Per pull: idx+val reads (8 B/slot) + gathered rows (4·emb B/slot, f32 —
-    see `graph/bucketed.py` on why not bf16) + output write (4·emb·N).
-    2·layers pulls per step (fwd + VJP-through-transpose bwd)."""
-    bytes_pull = slots * (8 + 4 * emb) + 4 * emb * n_nodes
+    Per pull: idx+val reads (8 B/slot) + gathered rows (4·emb B/slot f32, or
+    2·emb under bf16-pair packing — `graph/bucketed.py::_pack_bf16_pairs`) +
+    output write (4·emb·N). 2·layers pulls per step (fwd + VJP-through-
+    transpose bwd)."""
+    row_bytes = (2 if compute_dtype == "bfloat16" else 4) * emb
+    bytes_pull = slots * (8 + row_bytes) + 4 * emb * n_nodes
     bytes_step = 2 * layers * bytes_pull
     sol_steps = HBM_BYTES_PER_S / bytes_step
     return {"pct_sol": round((examples_per_s / batch) / sol_steps, 4)}
@@ -221,7 +224,8 @@ def bench_large(epochs: int = 2, compute_dtype: str = "float32") -> float:
         np.bincount(pairs[:, 1], minlength=100_000),
     ])
     slots = int(_cap_for_degree(deg[deg > 0], MIN_CAP).sum())
-    roof = roofline_large(ex_s, slots, 150_000, EMB, LAYERS, 8192)
+    roof = roofline_large(ex_s, slots, 150_000, EMB, LAYERS, 8192,
+                          compute_dtype=compute_dtype)
     print(
         f"# large-scale (50k x 100k, 1M edges, bucketed backend): "
         f"{ex_s:,.0f} examples/s ({100 * roof['pct_sol']:.1f}% of HBM SOL)",
