@@ -111,14 +111,15 @@ def build_bucketed(
     vector that :func:`refresh_vals` will re-gather from (defaults to ``k``).
     ``vals`` may be None for a structure-only template (val tables zeroed).
     """
-    rows = np.asarray(rows, dtype=np.int64)
     e = len(rows)
     if edge_ids is None:
         edge_ids = np.arange(e, dtype=np.int32)
 
     # native C++ fast path (one counting-sort pass + one fill pass instead
     # of ~6 numpy passes; handles unsorted input without an argsort) —
-    # bit-identical layout, parity-tested in tests/test_native.py
+    # bit-identical layout, parity-tested in tests/test_native.py. Runs
+    # BEFORE any dtype normalization: the binding converts only what isn't
+    # already i32/f32, skipping two 20M-element copies on the hot build.
     if e > 0:
         try:
             from recommendation_tpu.native import get_lib
@@ -147,6 +148,7 @@ def build_bucketed(
                     node_of_row=jnp.asarray(node_of_row),
                 )
 
+    rows = np.asarray(rows, dtype=np.int64)
     # CSR-derived COO is already row-sorted — the O(E) check dodges the
     # O(E log E) argsort that dominated the 10M-edge build profile
     if e == 0 or np.all(rows[:-1] <= rows[1:]):

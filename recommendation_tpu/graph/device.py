@@ -148,7 +148,7 @@ def from_scipy(
         # slot→edge maps index into the padded COO vals positions, so
         # value-level augmentation (`with_vals`) refreshes both directions
         # from one [E_pad] vector
-        eids = np.arange(e_pad, dtype=np.int64)
+        eids = np.arange(e_pad, dtype=np.int32)
         pull = build_bucketed(rows, cols, vals, n_rows, n_cols, edge_ids=eids)
         pull_t = build_bucketed(cols, rows, vals, n_cols, n_rows, edge_ids=eids)
         # symmetric patterns (the normalized bipartite adjacency always is)
@@ -367,7 +367,7 @@ class DeviceGraph:
 
             bi_rows = np.concatenate([users, items + self.n_users])
             bi_cols = np.concatenate([items + self.n_users, users])
-            eids = np.arange(2 * e_pad, dtype=np.int64)
+            eids = np.arange(2 * e_pad, dtype=np.int32)
             self._bipartite_pull_tpl = build_bucketed(
                 bi_rows, bi_cols, None, self.n_nodes, self.n_nodes, edge_ids=eids
             )
