@@ -165,9 +165,11 @@ def main(argv=None):
         if social is not None:
             from recommendation_tpu.graph.social_device import SocialDeviceGraph
 
-            graph = SocialDeviceGraph(data, social, backend=config.get("graph.backend", "auto"))
+            graph = SocialDeviceGraph(data, social, backend=config.get("graph.backend", "auto"),
+                                      compute_dtype=config.get("graph.compute_dtype", "float32"))
         else:
-            graph = DeviceGraph(data, backend=config.get("graph.backend", "auto"))
+            graph = DeviceGraph(data, backend=config.get("graph.backend", "auto"),
+                                compute_dtype=config.get("graph.compute_dtype", "float32"))
         if args.checkpoint:
             # restore-only startup: no training pass
             config.update({"checkpoint.dir": args.checkpoint, "checkpoint.resume": True,
@@ -195,9 +197,11 @@ def main(argv=None):
         if social is not None:
             from recommendation_tpu.graph.social_device import SocialDeviceGraph
 
-            graph = SocialDeviceGraph(data, social, backend=config.get("graph.backend", "auto"))
+            graph = SocialDeviceGraph(data, social, backend=config.get("graph.backend", "auto"),
+                                      compute_dtype=config.get("graph.compute_dtype", "float32"))
         else:
-            graph = DeviceGraph(data, backend=config.get("graph.backend", "auto"))
+            graph = DeviceGraph(data, backend=config.get("graph.backend", "auto"),
+                                compute_dtype=config.get("graph.compute_dtype", "float32"))
         model = registry.build(args.model, config)
         rec = GraphRecommender(model, data, config, graph=graph)
         metrics = rec.execute()
