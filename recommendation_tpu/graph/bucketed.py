@@ -267,9 +267,13 @@ def slot_maps(csr: BucketedCSR, n_rows: int):
     pos_map = np.zeros(n_coo, dtype=np.int64)
     pos_map[flat_edge[valid]] = np.nonzero(valid)[0]
     # node id per concat row (inverse of gather_pos; degree-0 nodes collide
-    # on the trailing zeros row — harmless, those slots are never gathered)
-    node_of_row = np.zeros(base + 1, dtype=np.int64)
-    node_of_row[np.asarray(csr.gather_pos)] = np.arange(n_rows)
+    # on the trailing zeros row — harmless, those slots are never gathered);
+    # reuse the builder's copy when present
+    if csr.node_of_row is not None:
+        node_of_row = np.asarray(csr.node_of_row).astype(np.int64)
+    else:
+        node_of_row = np.zeros(base + 1, dtype=np.int64)
+        node_of_row[np.asarray(csr.gather_pos)] = np.arange(n_rows)
     slot_node = node_of_row[rowof]
     return (
         jnp.asarray(pos_map.astype(np.int32)),
@@ -456,7 +460,7 @@ def _chain_bwd(n_layers, compute_dtype, res, g):
     # Horner: Σ_{l=1..L} (Aᵀ)^l gp  ==  Aᵀ(gp + Aᵀ(gp + ...))
     s = jnp.zeros_like(gp)
     for _ in range(n_layers):
-        s = pull_rowspace(bwd, s + gp, compute_dtype)
+        s = pull_rowspace(bwd, s + gp, _bwd_dtype(compute_dtype))
     zero = jnp.zeros((1, g.shape[1]), s.dtype)
     restored = jnp.concatenate([s, zero], axis=0)[fwd.gather_pos]
     dx = ((g + restored) / (n_layers + 1.0)).astype(g.dtype)
@@ -489,13 +493,21 @@ def _float0_zeros(tree):
     )
 
 
+def _bwd_dtype(compute_dtype: str) -> str:
+    """Cotangent-pull dtype: bf16 packing on gradients matches the dense
+    backend's bf16 backward matmuls, but int8 would round the accumulated
+    cotangent per layer (zeroing gradients below ~max|row|/254 — review
+    finding, round 3), so int8 applies to FORWARD propagation inputs only."""
+    return "float32" if compute_dtype == "int8" else compute_dtype
+
+
 def _mm_fwd(fwd, bwd, x, compute_dtype):
     return pull(fwd, x, compute_dtype), (fwd, bwd)
 
 
 def _mm_bwd(compute_dtype, res, g):
     fwd, bwd = res
-    grad_x = pull(bwd, g, compute_dtype).astype(g.dtype)
+    grad_x = pull(bwd, g, _bwd_dtype(compute_dtype)).astype(g.dtype)
     return (_float0_zeros(fwd), _float0_zeros(bwd), grad_x)
 
 

@@ -43,7 +43,7 @@ class DeviceAdj:
     """Normalized sparse adjacency on device.
 
     rows/cols/vals are padded to a static length; padding entries carry
-    ``val == 0`` and point at row/col 0, so they contribute nothing.
+    ``val == 0`` (pointing at the last row/col), so they contribute nothing.
     ``dense`` is the materialized matrix when the dense backend is active.
     ``compute_dtype`` 'bfloat16' runs the dense propagation matmul in the
     MXU's native bf16 (f32 accumulate) — ~2× memory bandwidth; values stay
@@ -133,8 +133,12 @@ def from_scipy(
     backend = choose_backend(n_rows, n_cols, backend)
 
     e_pad = max(pad_to, _round_up(len(vals), pad_to))
+    # pad with (n_rows-1, n_cols-1) SELF-LOOP-shaped zero edges: padding
+    # must be symmetric (same corner in both coordinates) or pull/pull_t
+    # develop different degree layouts whenever nnz % pad_to != 0, silently
+    # disabling the permuted-space chain (review finding, round 3)
     rows = np.pad(rows, (0, e_pad - len(rows)), constant_values=n_rows - 1)
-    cols = np.pad(cols, (0, e_pad - len(cols)))
+    cols = np.pad(cols, (0, e_pad - len(cols)), constant_values=n_cols - 1)
     vals = np.pad(vals, (0, e_pad - len(vals)))
 
     dense = None
@@ -394,6 +398,32 @@ class DeviceGraph:
                 np.asarray(r_hat.todense(), dtype=np.float32)
             )
 
+        # lazily-built slot maps for the scatter-free bucketed GAT VJP
+        # (`ensure_gat_aux`) — a pytree child, NOT model state, so the O(E)
+        # static index data never lands in checkpoints
+        self.gat_aux = None
+
+    def ensure_gat_aux(self):
+        """Host-side one-shot slot maps for the scatter-free bucketed GAT
+        attention VJP (`models/gat.py::_attention_pull`): edge→forward-slot
+        and slot→node maps over ``norm_adj.pull``. Cached on the graph; call
+        OUTSIDE jit (GAT.init does). No-op on non-bucketed backends."""
+        if (
+            self.gat_aux is None
+            and self.backend == "bucketed"
+            and self.norm_adj.pull is not None
+            and self.norm_adj.pull_t is not None
+        ):
+            from recommendation_tpu.graph.bucketed import slot_maps
+
+            pos_map, slot_node, node_of_row = slot_maps(self.norm_adj.pull, self.n_nodes)
+            self.gat_aux = {
+                "pos_map": pos_map,
+                "slot_node": slot_node,
+                "node_of_row": node_of_row,
+            }
+        return self.gat_aux
+
     # -- pytree protocol (so a DeviceGraph can be a jit argument) -------------
 
     _DATA_FIELDS = (
@@ -402,6 +432,7 @@ class DeviceGraph:
         "user_positives", "user_degrees", "csr_indptr", "csr_items",
         "user_pos_mask", "user_fallback_neg",
         "_bipartite_pull_tpl", "_bipartite_pull_t_tpl",
+        "gat_aux",
     )
     _META_FIELDS = (
         "n_users", "n_items", "n_nodes", "n_edges", "max_degree", "backend",

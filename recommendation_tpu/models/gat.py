@@ -76,10 +76,11 @@ def _real_slots(b):
     return (b.edge >= 0) & (b.val != 0)
 
 
-def _bucket_attention(csr, row_nodes, h, alpha_src, alpha_dst, neg_slope):
+def _bucket_attention(csr, row_nodes, alpha_src, alpha_dst, neg_slope):
     """Pre-dropout attention per bucket: list of [nb, cap, H] softmax
-    weights (zero on padding slots). Shared by the custom-VJP forward and
-    its backward recomputation."""
+    weights (zero on padding slots), a function of the alphas only — h does
+    not enter until the message aggregation. Shared by the custom-VJP
+    forward and its backward recomputation."""
     atts = []
     off_r = 0
     for b in csr.buckets:
@@ -114,7 +115,7 @@ def _attention_pull(neg_slope, drop_scale, csr, csr_t, aux, h, alpha_src, alpha_
     ``keep`` is an optional f32[total_slots, H] dropout mask (None = no
     attention dropout); ``drop_scale`` its 1/(1-p) rescale. ``aux`` carries
     the static slot maps from ``graph.bucketed.slot_maps``."""
-    atts = _bucket_attention(csr, aux["node_of_row"], h, alpha_src, alpha_dst, neg_slope)
+    atts = _bucket_attention(csr, aux["node_of_row"], alpha_src, alpha_dst, neg_slope)
     outs = []
     off_s = 0
     heads = alpha_src.shape[1]
@@ -137,7 +138,7 @@ def _attention_pull_bwd(neg_slope, drop_scale, res, g):
     csr, csr_t, aux, h, alpha_src, alpha_dst, keep = res
     heads, d = h.shape[1], h.shape[2]
     row_nodes = aux["node_of_row"]
-    atts = _bucket_attention(csr, row_nodes, h, alpha_src, alpha_dst, neg_slope)
+    atts = _bucket_attention(csr, row_nodes, alpha_src, alpha_dst, neg_slope)
 
     # ---- forward-layout pass: per-slot cotangents, all dense per bucket --
     dz_parts, attd_parts, dadst_rows = [], [], []
@@ -302,24 +303,16 @@ class GAT(Model):
                 "a_dst": glorot(kb2, (1, d_out)),
             },
         }
-        state = {}
-        adj = graph.norm_adj
-        if adj.backend == "bucketed" and adj.pull is not None and adj.pull_t is not None:
-            # static slot maps for the scatter-free attention VJP — host-built
-            # once here (init runs outside jit), carried as (non-learned)
-            # state so the jitted loss can gather through them
-            from recommendation_tpu.graph.bucketed import slot_maps
+        # static slot maps for the scatter-free attention VJP — host-built
+        # once here (init runs outside jit) and cached ON THE GRAPH (a
+        # pytree child, not model state: O(E) derivable index data must not
+        # land in checkpoints — review finding, round 3)
+        graph.ensure_gat_aux()
+        return params, {}
 
-            pos_map, slot_node, node_of_row = slot_maps(adj.pull, graph.n_nodes)
-            state["att_aux"] = {
-                "pos_map": pos_map,
-                "slot_node": slot_node,
-                "node_of_row": node_of_row,
-            }
-        return params, state
-
-    def _forward(self, params, graph: DeviceGraph, rng=None, att_aux=None):
+    def _forward(self, params, graph: DeviceGraph, rng=None):
         adj = graph.norm_adj
+        att_aux = getattr(graph, "gat_aux", None)
         bucketed = adj.backend == "bucketed" and adj.pull is not None
         if not bucketed:
             src, dst, mask = bidirectional_edges(graph)
@@ -366,7 +359,7 @@ class GAT(Model):
         return x[: graph.n_users], x[graph.n_users :]
 
     def loss(self, params, state, batch: PairwiseBatch, graph: DeviceGraph, rng):
-        user_all, item_all = self._forward(params, graph, rng, att_aux=state.get("att_aux"))
+        user_all, item_all = self._forward(params, graph, rng)
         u = user_all[batch.users]
         pos = item_all[batch.pos_items]
         neg = item_all[batch.neg_items]
@@ -374,4 +367,4 @@ class GAT(Model):
         return loss, state
 
     def eval_embeddings(self, params, state, graph: DeviceGraph):
-        return self._forward(params, graph, rng=None, att_aux=state.get("att_aux"))
+        return self._forward(params, graph, rng=None)

@@ -270,7 +270,7 @@ def test_gat_scatter_free_vjp_matches_segment_grads(tiny_data):
         model = GAT(config)
         params, state = model.init(jax.random.PRNGKey(0), graph)
         if backend == "bucketed":
-            assert "att_aux" in state  # the scatter-free path is active
+            assert graph.gat_aux is not None  # the scatter-free path is active
         val, g = jax.value_and_grad(
             lambda p: model.loss(p, state, batch, graph, None)[0]
         )(params)
@@ -298,7 +298,7 @@ def test_gat_scatter_free_backward_hlo_has_no_scatter(tiny_data):
     graph = DeviceGraph(tiny_data, backend="bucketed")
     model = GAT(config)
     params, state = model.init(jax.random.PRNGKey(0), graph)
-    aux = state["att_aux"]
+    aux = graph.gat_aux
     adj = graph.norm_adj
     n = graph.n_nodes
     x = jnp.zeros((n, 8), jnp.float32)

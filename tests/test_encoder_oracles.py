@@ -18,7 +18,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
-import torch
+
+torch = pytest.importorskip("torch")  # the oracles NEED torch; skip, don't error
 
 from recommendation_tpu.config import default_config
 from recommendation_tpu.graph.device import binarized, from_scipy

@@ -45,6 +45,7 @@ def main():
     })
     model = GAT(config)
     params, state = model.init(jax.random.PRNGKey(0), graph)
+    aux = graph.gat_aux
     b = 4096
     rng = np.random.default_rng(0)
     users = jnp.asarray(rng.integers(0, 50_000, b).astype(np.int32))
@@ -54,10 +55,12 @@ def main():
 
     batch = PairwiseBatch(users, pos, neg, jnp.ones((b,), jnp.float32))
 
-    for mode, st in (("scatter-free", state), ("autodiff", {})):
+    for mode in ("scatter-free", "autodiff"):
+        graph.gat_aux = aux if mode == "scatter-free" else None
+        st = state
 
         @jax.jit
-        def fwd_only(params, st=st):
+        def fwd_only(params, st=st, graph=graph):
             def step(c, _):
                 p = jax.tree_util.tree_map(lambda a: a * (1.0 + c * 1e-20), params)
                 loss, _ = model.loss(p, st, batch, graph, None)
@@ -67,7 +70,7 @@ def main():
             return c
 
         @jax.jit
-        def fwd_bwd(params, st=st):
+        def fwd_bwd(params, st=st, graph=graph):
             g = jax.grad(lambda p: model.loss(p, st, batch, graph, None)[0])
 
             def step(c, _):
