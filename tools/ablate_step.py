@@ -3,10 +3,19 @@
 Decomposes the LightGCN-BPR training step (the `bench.py` metric: ML-100K
 shape, dense bipartite-block backend, bf16 MXU, batch 2048) into additive
 components, each measured as a `lax.scan` of N identical steps inside ONE
-jitted program (per-dispatch RTT through the tunneled chip is ~70-80 ms, so
-only scanned programs measure the device — see BASELINE.md forensics note).
+jitted program.
 
-Variants (ms/step):
+Measurement protocol (v2 — the v1 numbers were tunnel artifacts):
+  * every timed program reduces its outputs to ONE scalar INSIDE the jit, so
+    the host fence transfers 4 bytes. v1 fenced by transferring every output
+    leaf, and through the ~10 MB/s remote tunnel that charged Adam ~700
+    us/step of pure mu/nu DOWNLOAD time (2.7 MB of opt state per call) —
+    6x the whole real step;
+  * each variant runs at TWO scan lengths and reports
+    (t_long - t_short) / (n_long - n_short): the dispatch RTT and the
+    scalar-fence cost cancel exactly, leaving pure per-step device time.
+
+Variants (us/step):
   full            the exact bench step (sample + grad + Adam + NaN guard)
   no_sample       negatives precomputed outside the scan
   no_guard        no NaN-guard where/tree_map pair
@@ -40,7 +49,7 @@ from recommendation_tpu.sampling import PairwiseBatch, sample_negatives, shuffle
 from recommendation_tpu.train.loop import make_optimizer
 
 EMB, LAYERS, BATCH = 64, 3, 2048
-N_STEPS = 256
+N_SHORT, N_LONG = 256, 1024
 
 
 def build():
@@ -77,31 +86,45 @@ def batches_for(graph, n_steps, rng):
     return build(rng)
 
 
-def _fence(out):
-    """Host transfer of every output leaf — a full sync with NO extra
-    compiles (jnp.sum here would compile one tiny program per leaf, each
-    paying the remote-compile RTT)."""
+def _scalarize(out):
+    """Reduce an arbitrary output pytree to one f32 scalar (inside jit)."""
+    acc = jnp.float32(0.0)
     for leaf in jax.tree_util.tree_leaves(out):
         if hasattr(leaf, "dtype"):
-            np.asarray(leaf)
+            acc = acc + jnp.sum(leaf).astype(jnp.float32) * 1e-20
+    return acc
 
 
-def timed(fn, args, label, repeats=3):
-    out = fn(*args)
-    _fence(out)
-    best = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        _fence(out)
-        best.append((time.perf_counter() - t0) / N_STEPS * 1e6)
-    print(f"{label:<14} {min(best):8.1f} us/step   (runs: {', '.join(f'{b:.1f}' for b in best)})", flush=True)
-    return min(best)
+def timed_pair(make_fn, make_args, label, repeats=3):
+    """Per-step device time via paired scan lengths: the dispatch round trip
+    and the 4-byte fence cancel in the (long - short) difference."""
+    times = {}
+    for n in (N_SHORT, N_LONG):
+        fn = make_fn(n)
+        args = make_args(n)
+        float(fn(*args))  # compile + warmup (4-byte transfer)
+        best = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            float(fn(*args))
+            best.append(time.perf_counter() - t0)
+        times[n] = min(best)
+    per_step = (times[N_LONG] - times[N_SHORT]) / (N_LONG - N_SHORT) * 1e6
+    print(f"{label:<14} {per_step:8.1f} us/step   "
+          f"(short {times[N_SHORT] * 1e3:7.1f} ms, long {times[N_LONG] * 1e3:7.1f} ms)",
+          flush=True)
+    return per_step
 
 
 def main():
     graph, model, params, state, optimizer, opt_state = build()
-    us, its, negs, neg_keys = batches_for(graph, N_STEPS, jax.random.PRNGKey(1))
+    xs_by_n = {}
+
+    def xs_for(n):
+        if n not in xs_by_n:
+            xs_by_n[n] = batches_for(graph, n, jax.random.PRNGKey(1))
+        return xs_by_n[n]
+
     sgd = optax.sgd(1e-3)
     sgd_state = sgd.init(params)
 
@@ -123,45 +146,50 @@ def main():
         p = optax.apply_updates(p, updates)
         return (p, o), loss
 
-    def scan_of(step, init):
-        def run(init, xs):
-            return jax.lax.scan(step, init, xs)
-        return jax.jit(run), init
-
-    xs = (us, its, negs, neg_keys)
+    def scan_variant(step, init):
+        def make(n):
+            @jax.jit
+            def run(init, xs):
+                carry, ys = jax.lax.scan(step, init, xs)
+                return _scalarize((carry, ys))
+            return run
+        return make, lambda n: (init, xs_for(n))
 
     # -- full and subtractive variants ------------------------------------
-    f, init = scan_of(lambda c, x: full_step(c, x), (params, opt_state))
-    t_full = timed(f, (init, xs), "full")
-
-    f, init = scan_of(lambda c, x: full_step(c, x, sample=False), (params, opt_state))
-    t_nos = timed(f, (init, xs), "no_sample")
-
-    f, init = scan_of(lambda c, x: full_step(c, x, guard=False), (params, opt_state))
-    timed(f, (init, xs), "no_guard")
-
-    f, init = scan_of(lambda c, x: full_step(c, x, opt=sgd), (params, sgd_state))
-    t_sgd = timed(f, (init, xs), "sgd")
+    t_full = timed_pair(*scan_variant(lambda c, x: full_step(c, x),
+                                      (params, opt_state)), "full")
+    t_nos = timed_pair(*scan_variant(lambda c, x: full_step(c, x, sample=False),
+                                     (params, opt_state)), "no_sample")
+    timed_pair(*scan_variant(lambda c, x: full_step(c, x, guard=False),
+                             (params, opt_state)), "no_guard")
+    t_sgd = timed_pair(*scan_variant(lambda c, x: full_step(c, x, opt=sgd),
+                                     (params, sgd_state)), "sgd")
 
     # -- isolated components ----------------------------------------------
     def fwd_loss(carry, x):
         u, i, j, nk = x
         batch = PairwiseBatch(u, i, j, jnp.ones(u.shape, jnp.float32))
-        loss, _ = model.loss(carry_params, state, batch, graph, nk)
+        loss, _ = model.loss(params, state, batch, graph, nk)
         return carry + loss * 1e-20, loss
 
-    carry_params = params
-    f = jax.jit(lambda c, xs: jax.lax.scan(fwd_loss, c, xs))
-    t_fwd = timed(f, (jnp.float32(0.0), xs), "fwd_loss")
+    t_fwd = timed_pair(*scan_variant(fwd_loss, jnp.float32(0.0)), "fwd_loss")
+
+    def length_variant(step, init):
+        def make(n):
+            @jax.jit
+            def run(init):
+                carry, ys = jax.lax.scan(step, init, None, length=n)
+                return _scalarize((carry, ys))
+            return run
+        return make, lambda n: (init,)
 
     def prop_fwd(carry, x):
         del x
         p = jax.tree_util.tree_map(lambda a: a * (1.0 + carry * 1e-20), params)
         ua, ia = model.propagate(p, graph)
-        return carry + jnp.sum(ua[0]) + jnp.sum(ia[0]), None
+        return carry + (jnp.sum(ua[0]) + jnp.sum(ia[0])) * 1e-20, None
 
-    f = jax.jit(lambda c, xs: jax.lax.scan(prop_fwd, c, xs, length=N_STEPS))
-    t_pf = timed(f, (jnp.float32(0.0), None), "prop_fwd")
+    t_pf = timed_pair(*length_variant(prop_fwd, jnp.float32(0.0)), "prop_fwd")
 
     prop_g = jax.grad(lambda p: sum(jnp.sum(t) for t in
                                     jax.tree_util.tree_leaves(model.propagate(p, graph))))
@@ -172,8 +200,7 @@ def main():
         g = prop_g(p)
         return carry + sum(jnp.sum(t) for t in jax.tree_util.tree_leaves(g)) * 1e-20, None
 
-    f = jax.jit(lambda c, xs: jax.lax.scan(prop_fb, c, xs, length=N_STEPS))
-    t_pfb = timed(f, (jnp.float32(0.0), None), "prop_fwd_bwd")
+    t_pfb = timed_pair(*length_variant(prop_fb, jnp.float32(0.0)), "prop_fwd_bwd")
 
     # batch gather fwd + scatter bwd on fixed (already-propagated) tables
     ua0, ia0 = jax.jit(lambda p: model.propagate(p, graph))(params)
@@ -191,16 +218,14 @@ def main():
         g = bg(tabs, u, i, j)
         return carry + sum(jnp.sum(t) for t in jax.tree_util.tree_leaves(g)) * 1e-20, None
 
-    f = jax.jit(lambda c, xs: jax.lax.scan(batch_grad, c, xs))
-    t_bg = timed(f, (jnp.float32(0.0), xs), "batch_grad")
+    t_bg = timed_pair(*scan_variant(batch_grad, jnp.float32(0.0)), "batch_grad")
 
     def sample_only(carry, x):
         u, _, _, nk = x
         j = sample_negatives(nk, graph, u)
         return carry + jnp.sum(j), None
 
-    f = jax.jit(lambda c, xs: jax.lax.scan(sample_only, c, xs))
-    t_so = timed(f, (jnp.int32(0), xs), "sample_only")
+    t_so = timed_pair(*scan_variant(sample_only, jnp.int32(0)), "sample_only")
 
     def adam_only(carry, x):
         del x
@@ -210,16 +235,16 @@ def main():
         p = optax.apply_updates(p, updates)
         return (p, o), None
 
-    f = jax.jit(lambda c, xs: jax.lax.scan(adam_only, c, xs, length=N_STEPS))
-    timed(f, ((params, opt_state), None), "adam_only")
+    timed_pair(*length_variant(adam_only, (params, opt_state)), "adam_only")
 
     print("\nderived:")
     print(f"  sampling in-step   ~{t_full - t_nos:8.1f} us")
     print(f"  adam vs sgd        ~{t_full - t_sgd:8.1f} us")
-    print(f"  backward total     ~{t_nos - t_fwd:8.1f} us  (no_sample - fwd_loss)")
+    print(f"  backward+update    ~{t_nos - t_fwd:8.1f} us  (no_sample - fwd_loss)")
     print(f"  prop fwd           ~{t_pf:8.1f} us, fwd+bwd ~{t_pfb:8.1f} us")
     print(f"  batch gather+scatter grad ~{t_bg:8.1f} us")
-    print(f"  unexplained (full - prop_fb - batch_grad - sample - adamdelta)")
+    print(f"  sample_only        ~{t_so:8.1f} us")
+    print(f"  residual (full - prop_fb - batch_grad - sample - adam-delta)")
 
 
 if __name__ == "__main__":

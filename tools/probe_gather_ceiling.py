@@ -34,14 +34,16 @@ STEPS = 16
 
 
 def _timed(fn, *args, steps=STEPS, label=""):
+    """fn MUST return a scalar (reduced inside its jit): the remote tunnel
+    downloads outputs at ~10-25 MB/s, so fencing on array outputs measures
+    the TUNNEL, not the device (the round-3 v1 numbers did exactly that)."""
     out = fn(*args)
-    jax.tree_util.tree_map(lambda a: np.asarray(a) if hasattr(a, "dtype") else a, out)
+    assert np.asarray(out).size == 1, "probe fns must reduce to a scalar in-jit"
+    float(out)
     best = []
     for _ in range(3):
         t0 = time.perf_counter()
-        out = fn(*args)
-        for leaf in jax.tree_util.tree_leaves(out):
-            np.asarray(leaf)
+        float(fn(*args))
         best.append((time.perf_counter() - t0) / steps)
     t = min(best)
     print(f"{label:<34} {t * 1e3:9.2f} ms/pass", flush=True)
@@ -64,7 +66,7 @@ def probe_a_width_scaling():
                 return c + jnp.sum(g, axis=0), None
 
             c, _ = jax.lax.scan(step, jnp.zeros((d,), jnp.float32), None, length=STEPS)
-            return c
+            return jnp.sum(c)
 
         t = _timed(run, x, idx, label=f"  d={d:<4} ({4 * d} B/row)")
         ns_slot = t / N_SLOTS * 1e9
@@ -99,7 +101,7 @@ def probe_b_packed_pull():
                 return c * 0.999 + pull(adj.pull, c, mode), None
 
             c, _ = jax.lax.scan(step, x, None, length=STEPS)
-            return c
+            return jnp.sum(c)
 
         _timed(run, x, label=f"  pull compute_dtype={mode}")
 
@@ -109,7 +111,12 @@ def probe_c_pallas_dma_gather():
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    d = 64
+    # d=128: Mosaic requires HBM row slices 128-aligned on the lane dim
+    # (d=64 fails to compile: "Slice shape along dimension 1 must be aligned
+    # to tiling (128)"). The probe's question — per-row DMA descriptor issue
+    # rate — is width-independent below the bandwidth bound, so measure at
+    # the expressible width and scale.
+    d = 128
     chunk = 4096  # rows gathered per kernel instance
     # row i carries value i so a misrouted DMA is detectable
     x = jnp.broadcast_to(
@@ -167,7 +174,7 @@ def probe_c_pallas_dma_gather():
             c, _ = jax.lax.scan(
                 step, jnp.zeros((d,), jnp.float32), None, length=STEPS
             )
-            return c
+            return jnp.sum(c)
 
         t = _timed(run, idx, x, label=f"  DMA gather ({chunk} rows/pass)")
         per_row = t / chunk * 1e9
