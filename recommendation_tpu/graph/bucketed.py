@@ -324,9 +324,10 @@ def pull(csr: BucketedCSR, x: jnp.ndarray, compute_dtype: str = "float32") -> jn
     ``compute_dtype='bfloat16'`` the rows are bf16 PAIRS bitcast-packed into
     f32 words — half the gather bytes on the same fast path, f32
     accumulation (the bucketed analogue of the dense backend's bf16 mode).
-    ``'int8'`` packs quads with a per-row scale (~4× fewer bytes)."""
+    ``'int8'`` packs quads with a per-row scale (~4× fewer bytes). Packing
+    auto-disables where it measured slower (see ``_effective_packer``)."""
     d = x.shape[1]
-    packer = _PACKERS.get(compute_dtype)
+    packer = _effective_packer(compute_dtype, d)
     xd = packer[0](x) if packer else x.astype(jnp.float32)
     outs = []
     for b in csr.buckets:
@@ -389,6 +390,33 @@ _PACKERS = {
 }
 
 
+def packed_words(compute_dtype: str, d: int) -> int:
+    """f32 words per gathered row under ``compute_dtype`` packing."""
+    if compute_dtype == "bfloat16":
+        return -(-d // 2)
+    if compute_dtype == "int8":
+        return 1 + -(-d // 4)
+    return d
+
+
+def _effective_packer(compute_dtype: str, d: int):
+    """Packing decision per row width — measured on-chip (round 3,
+    `tools/probe_gather_ceiling.py` probe A, 2M random slots over 1.5M rows):
+
+        words/row   16     32     64    128    256
+        ns/slot    1.17   2.20   1.09   1.05   1.23
+
+    The gather is ISSUE-bound below ~256 words (flat ns/slot, far from HBM
+    peak), so shrinking rows does not buy bandwidth — and the 32-word point
+    sits on a 2× SLOWER path than 64 (this is why bf16-pair packing at d=64
+    REGRESSED the 1M-edge bench 173k -> 129k ex/s). Rule: pack only when the
+    packed row still holds >= 64 words; otherwise gather plain f32 words."""
+    p = _PACKERS.get(compute_dtype)
+    if p is None or packed_words(compute_dtype, d) < 64:
+        return None
+    return p
+
+
 def pull_rowspace(
     csr: BucketedCSR, xp: jnp.ndarray, compute_dtype: str = "float32"
 ) -> jnp.ndarray:
@@ -404,9 +432,10 @@ def pull_rowspace(
     ``compute_dtype='bfloat16'`` gathers bf16 PAIRS packed in f32 words
     (half the bytes per slot, still the fast f32 gather path), accumulating
     in f32 — the bucketed analogue of the dense backend's bf16 MXU mode.
-    ``'int8'`` packs quads with a per-row scale (~4× fewer bytes)."""
+    ``'int8'`` packs quads with a per-row scale (~4× fewer bytes). Packing
+    auto-disables where it measured slower (see ``_effective_packer``)."""
     d = xp.shape[1]
-    packer = _PACKERS.get(compute_dtype)
+    packer = _effective_packer(compute_dtype, d)
     xd = packer[0](xp) if packer else xp.astype(jnp.float32)
     last = xp.shape[0] - 1
     outs = []

@@ -22,6 +22,21 @@ from recommendation_tpu.ops.spmm import adj_matmul
 from recommendation_tpu.sampling import PairwiseBatch, sample_negatives, sample_pointwise
 
 
+def _use_prop_kernel(n_users: int, n_items: int, d: int) -> bool:
+    """Gate for the fused Pallas propagation kernel: TPU platform (Mosaic
+    compile; CPU keeps the XLA chain — interpret mode is test-only), shapes
+    within the VMEM budget, not disabled via RECTPU_PROP_KERNEL=off."""
+    import os
+
+    if os.environ.get("RECTPU_PROP_KERNEL", "auto") == "off":
+        return False
+    if jax.default_backend() == "cpu":
+        return False
+    from recommendation_tpu.ops.pallas_prop import chain_supported
+
+    return chain_supported(n_users, n_items, d)
+
+
 def lightgcn_propagate(
     user_emb: jnp.ndarray,
     item_emb: jnp.ndarray,
@@ -42,6 +57,15 @@ def lightgcn_propagate(
         r = bipartite_dense
         if norm_adj.compute_dtype == "bfloat16":
             r = r.astype(jnp.bfloat16)
+            if not return_layers and _use_prop_kernel(
+                n_users, item_emb.shape[0], user_emb.shape[1]
+            ):
+                # fused Pallas chain: R̂ stays VMEM-resident across every
+                # layer of BOTH passes (XLA re-reads it from HBM per dot —
+                # ~12 reads/step at 3 layers). `ops/pallas_prop.py`.
+                from recommendation_tpu.ops.pallas_prop import dense_chain_mean
+
+                return dense_chain_mean(r, user_emb, item_emb, n_layers)
 
             def mm(a, b):
                 return jnp.dot(a, b.astype(jnp.bfloat16), preferred_element_type=jnp.float32)

@@ -1,0 +1,73 @@
+"""Numerics of the fused Pallas dense-chain propagation kernel
+(`ops/pallas_prop.py`) against the XLA bipartite-block chain it replaces —
+values AND gradients, interpret mode (CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from recommendation_tpu.models.lightgcn import lightgcn_propagate
+from recommendation_tpu.ops.pallas_prop import chain_supported, dense_chain_mean
+
+
+class _Adj:
+    compute_dtype = "bfloat16"
+    backend = "dense"
+    pull = None
+
+
+def _xla_chain(r_bf16, u0, i0, n_layers):
+    """The exact XLA path the kernel replaces (bf16 dots, f32 accumulate)."""
+    def mm(a, b):
+        return jnp.dot(a, b.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+
+    u, i = u0.astype(jnp.float32), i0.astype(jnp.float32)
+    acc_u, acc_i = u, i
+    for _ in range(n_layers):
+        u, i = mm(r_bf16, i), mm(r_bf16.T, u)
+        acc_u, acc_i = acc_u + u, acc_i + i
+    inv = 1.0 / (n_layers + 1.0)
+    return acc_u * inv, acc_i * inv
+
+
+@pytest.mark.parametrize("n_layers", [1, 3])
+def test_chain_matches_xla_fwd_and_grad(n_layers):
+    rng = np.random.default_rng(0)
+    n_u, n_i, d = 37, 53, 8  # deliberately unaligned: exercises padding
+    r = jnp.asarray(rng.normal(size=(n_u, n_i)).astype(np.float32) * 0.1).astype(
+        jnp.bfloat16
+    )
+    u0 = jnp.asarray(rng.normal(size=(n_u, d)).astype(np.float32))
+    i0 = jnp.asarray(rng.normal(size=(n_i, d)).astype(np.float32))
+
+    want_u, want_i = _xla_chain(r, u0, i0, n_layers)
+    got_u, got_i = dense_chain_mean(r, u0, i0, n_layers, True)
+    np.testing.assert_allclose(got_u, want_u, rtol=2e-2, atol=2e-3)
+    np.testing.assert_allclose(got_i, want_i, rtol=2e-2, atol=2e-3)
+
+    def loss_ref(u0, i0):
+        a, b = _xla_chain(r, u0, i0, n_layers)
+        return jnp.sum(a * a) + jnp.sum(jnp.sin(b))
+
+    def loss_ker(u0, i0):
+        a, b = dense_chain_mean(r, u0, i0, n_layers, True)
+        return jnp.sum(a * a) + jnp.sum(jnp.sin(b))
+
+    gu_ref, gi_ref = jax.grad(loss_ref, argnums=(0, 1))(u0, i0)
+    gu_ker, gi_ker = jax.grad(loss_ker, argnums=(0, 1))(u0, i0)
+    np.testing.assert_allclose(gu_ker, gu_ref, rtol=3e-2, atol=3e-3)
+    np.testing.assert_allclose(gi_ker, gi_ref, rtol=3e-2, atol=3e-3)
+
+
+def test_chain_supported_budget():
+    assert chain_supported(943, 1682, 64)  # the headline-bench shape
+    assert not chain_supported(50_000, 100_000, 64)  # bucketed regime
+
+
+def test_propagate_gate_off_on_cpu(monkeypatch):
+    """On the CPU backend the gate must keep the XLA chain (no Mosaic)."""
+    from recommendation_tpu.models.lightgcn import _use_prop_kernel
+
+    assert jax.default_backend() == "cpu"
+    assert not _use_prop_kernel(943, 1682, 64)
