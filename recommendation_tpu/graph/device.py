@@ -347,6 +347,32 @@ class DeviceGraph:
                 fallback[u, sel] = (t + p).astype(np.int32)
         self.user_fallback_neg = jnp.asarray(fallback)
 
+        # Packed membership bitmap [n_users, ceil(n_items/32)] u32: the fast
+        # positive-test for negative sampling. One contiguous row gather of
+        # W = ceil(n_items/32) words replaces the [B, max_degree] positives
+        # gather — on power-law graphs max_degree ≫ n_items/32 (ML-100K
+        # shape: 970 vs 53 columns, 18× less HBM traffic/step; measured
+        # on-TPU). Built only when it actually wins (W < max_degree) and
+        # fits the same element cap as the padded table.
+        self._W = -(-self.n_items // 32)
+        self.has_pos_bitmap = self.n_users * self._W <= POS_TABLE_MAX_ELEMENTS and (
+            not self.has_pos_table or self._W < self.max_degree
+        )
+        if self.has_pos_bitmap:
+            rows64 = np.repeat(np.arange(self.n_users, dtype=np.int64), degs)
+            cols = mat.indices.astype(np.int64)
+            bm_flat = np.zeros(self.n_users * self._W, dtype=np.uint32)
+            np.bitwise_or.at(
+                bm_flat,
+                rows64 * self._W + (cols >> 5),
+                (np.uint32(1) << (cols & 31).astype(np.uint32)),
+            )
+            self.user_pos_bitmap = jnp.asarray(
+                bm_flat.view(np.int32).reshape(self.n_users, self._W)
+            )
+        else:
+            self.user_pos_bitmap = jnp.zeros((1, 1), jnp.int32)
+
         # Dense int8 membership mask [n_users, n_items]: positive-test for
         # the mid-size envelope where the padded table is over cap but the
         # dense mask still fits (mask cap DENSE_MAX_ELEMENTS > table cap
@@ -430,13 +456,14 @@ class DeviceGraph:
         "edge_users", "edge_items", "edge_valid",
         "norm_adj", "norm_adj_selfloops", "interaction_norm_dense",
         "user_positives", "user_degrees", "csr_indptr", "csr_items",
-        "user_pos_mask", "user_fallback_neg",
+        "user_pos_mask", "user_pos_bitmap", "user_fallback_neg",
         "_bipartite_pull_tpl", "_bipartite_pull_t_tpl",
         "gat_aux",
     )
     _META_FIELDS = (
         "n_users", "n_items", "n_nodes", "n_edges", "max_degree", "backend",
-        "compute_dtype", "has_pos_table", "has_pos_mask",
+        "compute_dtype", "has_pos_table", "has_pos_mask", "has_pos_bitmap",
+        "_W",
     )
 
     def tree_flatten(self):

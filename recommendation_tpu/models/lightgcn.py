@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from recommendation_tpu.graph.device import DeviceAdj, DeviceGraph
 from recommendation_tpu.losses import bce_loss, bpr_loss, l2_reg_loss, pointwise_bce_loss
 from recommendation_tpu.models.base import Model
+from recommendation_tpu.ops.rows import take_rows
 from recommendation_tpu.ops.spmm import adj_matmul
 from recommendation_tpu.sampling import PairwiseBatch, sample_negatives, sample_pointwise
 
@@ -162,15 +163,17 @@ class LightGCN(Model):
             k = int(self.config.get("Pointwise.n_negs", 4))
             pw = sample_pointwise(rng, graph, batch.users, batch.pos_items,
                                   n_negs=k, weight=batch.weight)
-            u = user_all[pw.users]
-            it = item_all[pw.items]
+            u = take_rows(user_all, pw.users)
+            it = take_rows(item_all, pw.items)
             scores = jnp.sum(u * it, axis=1)
             rank = pointwise_bce_loss(scores, pw.labels, pw.weight)
             reg = l2_reg_loss(self.reg, u, it) / batch.users.shape[0]
             return rank + reg, state
 
-        u = user_all[batch.users]
-        pos = item_all[batch.pos_items]
+        # take_rows: same gather, MXU one-hot backward instead of a
+        # scatter-add (ops/rows.py — measured ~1.5x on the bench step)
+        u = take_rows(user_all, batch.users)
+        pos = take_rows(item_all, batch.pos_items)
 
         if self.n_negs > 1:
             # Multi-negative mean composition (`lightgcn.py:93-104`).
@@ -178,13 +181,13 @@ class LightGCN(Model):
             rank_losses = []
             for k in keys:
                 negs = sample_negatives(k, graph, batch.users)
-                neg = item_all[negs]
+                neg = take_rows(item_all, negs)
                 fn = bpr_loss if self.loss_type == "bpr" else bce_loss
                 rank_losses.append(fn(u, pos, neg))
             rank = jnp.mean(jnp.stack(rank_losses))
-            neg = item_all[batch.neg_items]
+            neg = take_rows(item_all, batch.neg_items)
         else:
-            neg = item_all[batch.neg_items]
+            neg = take_rows(item_all, batch.neg_items)
             fn = bpr_loss if self.loss_type == "bpr" else bce_loss
             rank = fn(u, pos, neg)
 

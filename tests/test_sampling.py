@@ -163,3 +163,49 @@ def test_pairwise_batches_shapes(tiny_graph):
     assert all(b.neg_items.shape == (128,) for b in batches)
     total = sum(b.users.shape[0] for b in batches)
     assert total >= tiny_graph.n_edges
+
+
+def test_uniform_ints_range_and_distribution():
+    """Modulo-free draw mapping: correct range, near-uniform, deterministic."""
+    from recommendation_tpu.sampling import uniform_ints
+
+    rng = jax.random.PRNGKey(5)
+    n = 1676
+    x = np.asarray(uniform_ints(rng, (200_000,), n))
+    assert x.min() >= 0 and x.max() < n
+    # chi-square-ish sanity over 16 coarse bins: each ~12.5k expected
+    hist, _ = np.histogram(x, bins=16, range=(0, n))
+    assert np.all(np.abs(hist - hist.mean()) < 6 * np.sqrt(hist.mean()))
+    # deterministic given the key
+    y = np.asarray(uniform_ints(rng, (200_000,), n))
+    np.testing.assert_array_equal(x, y)
+
+
+def test_bitmap_membership_agrees_with_table(tiny_graph):
+    """The packed-bitmap positive test must equal the padded-table test."""
+    g = tiny_graph
+    assert g.has_pos_bitmap  # tiny fixture: W=ceil(100/32)=4 < max_degree
+    B = 512
+    rng = np.random.default_rng(0)
+    users = jnp.asarray(rng.integers(0, g.n_users, B).astype(np.int32))
+    draws = jnp.asarray(rng.integers(0, g.n_items, (5, B)).astype(np.int32))
+    pos_rows = g.user_positives[users]
+    bad_table = jnp.any(pos_rows[None] == draws[:, :, None], axis=2)
+    rows = g.user_pos_bitmap[users]
+    iw = jnp.arange(rows.shape[1], dtype=jnp.int32)
+    sel = iw[None, None, :] == (draws >> 5)[:, :, None]
+    word = jnp.sum(jnp.where(sel, rows[None], 0), axis=2)
+    bad_bitmap = ((word >> (draws & 31)) & 1) > 0
+    np.testing.assert_array_equal(np.asarray(bad_table), np.asarray(bad_bitmap))
+
+
+def test_sample_negatives_bitmap_never_positive(tiny_graph):
+    """End-to-end: the bitmap fast path never emits a train positive."""
+    g = tiny_graph
+    assert g.has_pos_bitmap
+    users = jnp.tile(jnp.arange(g.n_users, dtype=jnp.int32), 30)
+    negs = np.asarray(sample_negatives(jax.random.PRNGKey(9), g, users))
+    pos = np.asarray(g.user_positives)
+    u = np.asarray(users)
+    hits = sum(int(negs[b] in pos[u[b]][pos[u[b]] >= 0]) for b in range(len(u)))
+    assert hits == 0
