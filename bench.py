@@ -84,15 +84,36 @@ def bench_tpu(data, epochs: int, compute_dtype: str = "float32", batch: int = BA
             p, o, s, loss = epoch_fn(graph, p, o, s, k)
         float(loss)
         dt = time.perf_counter() - t0
-    else:
-        run = make_multi_epoch_fn(model, optimizer, BATCH, n_epochs=epochs)
+        return epochs * n_batches * BATCH / dt
+
+    # Fused regime: measure STEADY STATE via two fused-epoch lengths — the
+    # dispatch+sync round trip (~20-45 ms through a remote-attached chip)
+    # cancels in the (long - short) delta. A single short window inflates
+    # per-epoch cost badly (round-3: --quick read 7.25M vs 12.42M full on
+    # identical code); with the paired protocol quick and full estimate the
+    # same quantity and agree within noise.
+    e_short = max(1, epochs // 4)
+    run_s = make_multi_epoch_fn(model, optimizer, BATCH, n_epochs=e_short)
+    run_l = make_multi_epoch_fn(model, optimizer, BATCH, n_epochs=epochs)
+    times = {"s": [], "l": []}
+    state_sl = {}
+    for label, run in (("s", run_s), ("l", run_l)):  # compile + warmup
         p, o, s, loss = run(graph, params, opt_state, state, rng)
-        float(loss[-1])  # compile + warmup
-        t0 = time.perf_counter()
-        p, o, s, loss = run(graph, p, o, s, jax.random.PRNGKey(2))
         float(loss[-1])
-        dt = time.perf_counter() - t0
-    examples = epochs * n_batches * BATCH
+        state_sl[label] = (p, o, s)
+    # INTERLEAVED repeats: tunnel latency drifts on multi-second scales, so
+    # measuring all-short-then-all-long lets the drift masquerade as
+    # per-epoch time; alternating keeps both sides in the same regime
+    for _ in range(6):
+        for label, run in (("s", run_s), ("l", run_l)):
+            p, o, s = state_sl[label]
+            t0 = time.perf_counter()
+            p, o, s, loss = run(graph, p, o, s, jax.random.PRNGKey(2))
+            float(loss[-1])
+            times[label].append(time.perf_counter() - t0)
+            state_sl[label] = (p, o, s)
+    dt = min(times["l"]) - min(times["s"])
+    examples = (epochs - e_short) * n_batches * BATCH
     return examples / dt
 
 
@@ -245,10 +266,10 @@ def main():
     args = ap.parse_args()
 
     data = build_dataset()
-    # enough fused epochs that the single dispatch+sync round trip
-    # (~20 ms through a remote-attached chip) is noise against compute:
-    # at 3 epochs it inflated the per-epoch cost ~40%
-    epochs = 6 if args.quick else 30
+    # the paired protocol measures (long - short)-epoch deltas, so the
+    # dispatch round trip cancels; the DELTA must still dwarf the ±2-3 ms
+    # tunnel jitter — 12 fused epochs ≈ 50 ms of device time at HEAD
+    epochs = 16 if args.quick else 30
     dtype = "float32" if args.f32 else "bfloat16"
     ours = bench_tpu(data, epochs, compute_dtype=dtype)
     if args.skip_baseline:

@@ -48,7 +48,7 @@ CAP_POW2_ABOVE = 128  # hub tail rows are few; pow2 caps bound bucket count
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["idx", "val", "edge"],
+    data_fields=["idx", "val", "edge", "ridx"],
     meta_fields=["cap"],
 )
 @dataclasses.dataclass
@@ -59,6 +59,13 @@ class Bucket:
     val: jnp.ndarray  # f32[nb, cap] edge values (0 where padded)
     edge: jnp.ndarray  # i32[nb, cap] position in the owning COO vals (-1 pad)
     cap: int
+    # i32[nb, cap] ROW-SPACE source indices (``min(gather_pos[idx],
+    # total_rows - 1)``), precomputed on host for square patterns: the chain
+    # path (`pull_rowspace`) otherwise issues a per-slot scalar translation
+    # gather EVERY layer of EVERY step for a quantity that is fully static
+    # (scalar-element gathers measured ~10 ns/slot vs ~1.2 ns for row
+    # gathers — round-4). None on non-square structures, which never chain.
+    ridx: Optional[jnp.ndarray] = None
 
 
 @partial(
@@ -82,6 +89,19 @@ class BucketedCSR:
     @property
     def total_rows(self) -> int:
         return sum(int(b.idx.shape[0]) for b in self.buckets)
+
+
+def _host_ridx(
+    gather_pos: np.ndarray, idx: np.ndarray, total_rows: int, n_rows: int, n_cols: int
+) -> Optional[jnp.ndarray]:
+    """Precomputed row-space translation for one bucket's index table (see
+    ``Bucket.ridx``). Only square patterns chain, so only they carry it."""
+    if n_rows != n_cols:
+        return None
+    gp = np.asarray(gather_pos)
+    return jnp.asarray(
+        np.minimum(gp[np.asarray(idx)], max(total_rows - 1, 0)).astype(np.int32)
+    )
 
 
 def _cap_for_degree(deg: np.ndarray, minimum: int) -> np.ndarray:
@@ -134,11 +154,13 @@ def build_bucketed(
             )
             if built is not None:
                 bks, gather_pos, node_of_row = built
+                total = sum(i.shape[0] for _, i, _, _ in bks)
                 return BucketedCSR(
                     buckets=tuple(
                         Bucket(
                             idx=jnp.asarray(i), val=jnp.asarray(v),
                             edge=jnp.asarray(eg), cap=c,
+                            ridx=_host_ridx(gather_pos, i, total, n_rows, n_cols),
                         )
                         for c, i, v, eg in bks
                     ),
@@ -192,16 +214,21 @@ def build_bucketed(
         if v is not None:
             val[dst_row, offs] = v[src]
         edge[dst_row, offs] = eid[src]
-        buckets.append(
-            Bucket(idx=jnp.asarray(idx), val=jnp.asarray(val), edge=jnp.asarray(edge), cap=cap)
-        )
+        buckets.append((idx, val, edge, cap))
         gather_pos[rows_in] = total_rows + np.arange(nb)
         total_rows += nb
     gather_pos[~nonzero] = total_rows  # the appended zeros row
     node_of_row = np.zeros(total_rows + 1, dtype=np.int64)
     node_of_row[gather_pos] = np.arange(n_rows)
     return BucketedCSR(
-        buckets=tuple(buckets),
+        buckets=tuple(
+            Bucket(
+                idx=jnp.asarray(idx), val=jnp.asarray(val),
+                edge=jnp.asarray(edge), cap=cap,
+                ridx=_host_ridx(gather_pos, idx, total_rows, n_rows, n_cols),
+            )
+            for idx, val, edge, cap in buckets
+        ),
         gather_pos=jnp.asarray(gather_pos.astype(np.int32)),
         n_rows=n_rows,
         n_cols=n_cols,
@@ -227,7 +254,7 @@ def mirrored_transpose(csr: BucketedCSR, e_half: int) -> BucketedCSR:
     def flip(b: Bucket) -> Bucket:
         e = np.asarray(b.edge)
         flipped = np.where(e >= 0, np.where(e < e_half, e + e_half, e - e_half), -1)
-        return Bucket(idx=b.idx, val=b.val, edge=jnp.asarray(flipped.astype(np.int32)), cap=b.cap)
+        return Bucket(idx=b.idx, val=b.val, edge=jnp.asarray(flipped.astype(np.int32)), cap=b.cap, ridx=b.ridx)
 
     return BucketedCSR(
         buckets=tuple(flip(b) for b in csr.buckets),
@@ -290,7 +317,7 @@ def refresh_vals(csr: BucketedCSR, coo_vals: jnp.ndarray) -> BucketedCSR:
     def refill(b: Bucket) -> Bucket:
         safe = jnp.clip(b.edge, 0, n - 1)
         val = jnp.where(b.edge >= 0, coo_vals[safe], 0.0)
-        return Bucket(idx=b.idx, val=val, edge=b.edge, cap=b.cap)
+        return Bucket(idx=b.idx, val=val, edge=b.edge, cap=b.cap, ridx=b.ridx)
 
     return BucketedCSR(
         buckets=tuple(refill(b) for b in csr.buckets),
@@ -305,7 +332,7 @@ def map_vals(csr: BucketedCSR, fn) -> BucketedCSR:
     """Apply ``fn`` to every bucket's value table (e.g. binarization)."""
     return BucketedCSR(
         buckets=tuple(
-            Bucket(idx=b.idx, val=jnp.where(b.edge >= 0, fn(b.val), 0.0), edge=b.edge, cap=b.cap)
+            Bucket(idx=b.idx, val=jnp.where(b.edge >= 0, fn(b.val), 0.0), edge=b.edge, cap=b.cap, ridx=b.ridx)
             for b in csr.buckets
         ),
         gather_pos=csr.gather_pos,
@@ -440,7 +467,11 @@ def pull_rowspace(
     last = xp.shape[0] - 1
     outs = []
     for b in csr.buckets:
-        rows = jnp.minimum(csr.gather_pos[b.idx], last)
+        # prebuilt row-space indices where available (Bucket.ridx); the
+        # on-the-fly translation is a per-slot scalar gather per layer
+        rows = b.ridx if b.ridx is not None else jnp.minimum(
+            csr.gather_pos[b.idx], last
+        )
         g = xd[rows]  # [nb, cap, d or packed width]
         if packer:
             g = packer[1](g, d)

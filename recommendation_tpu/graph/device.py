@@ -246,6 +246,12 @@ class DeviceGraph:
         self.edge_users = jnp.asarray(users)  # i32[E_pad] user node ids
         self.edge_items = jnp.asarray(items)  # i32[E_pad] item ids (0-based)
         self.edge_valid = jnp.asarray(valid)  # f32[E_pad] 1 for real edges
+        # (user, item) as ONE [E_pad, 2] row table: the epoch shuffle's
+        # edge materialization is a single 8 B row gather instead of two
+        # scalar-element gathers (~10 ns/element vs ~4 ns/row measured —
+        # tools/probe_edge_shuffle.py, round 4: 28 -> 16 us/step at the
+        # headline shape).
+        self.edge_ui = jnp.stack([self.edge_users, self.edge_items], axis=1)
 
         # Prebuilt normalized bipartite adjacency (the LightGCN propagation
         # operator) and its self-loop variant D̃^-1/2(A+I)D̃^-1/2 (GCNConv-
@@ -373,6 +379,20 @@ class DeviceGraph:
         else:
             self.user_pos_bitmap = jnp.zeros((1, 1), jnp.int32)
 
+        # Bitmap + fallback FUSED row table [n_users, W + n_fb]: the
+        # epoch-scale sampler (`sampling.sample_negatives_epoch`) gathers ONE
+        # row per example covering both the membership words and the
+        # guaranteed-negative candidates. A separate scalar fallback gather
+        # measured 21.7 us/step — 2/3 of the whole sampling budget — while a
+        # fused row gather is ~1 us/step (tools/probe_sampler.py, round 4).
+        if self.has_pos_bitmap:
+            self.user_bitmap_fb = jnp.concatenate(
+                [self.user_pos_bitmap, self.user_fallback_neg.astype(jnp.int32)],
+                axis=1,
+            )
+        else:
+            self.user_bitmap_fb = jnp.zeros((1, 1), jnp.int32)
+
         # Dense int8 membership mask [n_users, n_items]: positive-test for
         # the mid-size envelope where the padded table is over cap but the
         # dense mask still fits (mask cap DENSE_MAX_ELEMENTS > table cap
@@ -453,10 +473,10 @@ class DeviceGraph:
     # -- pytree protocol (so a DeviceGraph can be a jit argument) -------------
 
     _DATA_FIELDS = (
-        "edge_users", "edge_items", "edge_valid",
+        "edge_users", "edge_items", "edge_valid", "edge_ui",
         "norm_adj", "norm_adj_selfloops", "interaction_norm_dense",
         "user_positives", "user_degrees", "csr_indptr", "csr_items",
-        "user_pos_mask", "user_pos_bitmap", "user_fallback_neg",
+        "user_pos_mask", "user_pos_bitmap", "user_fallback_neg", "user_bitmap_fb",
         "_bipartite_pull_tpl", "_bipartite_pull_t_tpl",
         "gat_aux",
     )

@@ -22,6 +22,7 @@ from recommendation_tpu.models.base import Model
 from recommendation_tpu.models.lightgcn import lightgcn_propagate
 from recommendation_tpu.models.registry import register
 from recommendation_tpu.sampling import PairwiseBatch
+from recommendation_tpu.ops.rows import take_rows
 
 
 @register("buir")
@@ -78,10 +79,10 @@ class BUIR(Model):
         )
         users, items = batch.users, batch.pos_items
         loss = buir_loss(
-            self._predict_head(params, u_on_all[users]),
-            u_tg_all[users],
-            self._predict_head(params, i_on_all[items]),
-            i_tg_all[items],
+            self._predict_head(params, take_rows(u_on_all, users)),
+            take_rows(u_tg_all, users),
+            self._predict_head(params, take_rows(i_on_all, items)),
+            take_rows(i_tg_all, items),
         )
         return loss, state
 

@@ -19,6 +19,7 @@ from recommendation_tpu.losses import safe_frobenius_norm
 from recommendation_tpu.models.registry import register
 from recommendation_tpu.ops.spmm import adj_matmul
 from recommendation_tpu.sampling import PairwiseBatch
+from recommendation_tpu.ops.rows import take_rows
 
 
 @register("diffnet")
@@ -53,9 +54,9 @@ class DiffNet(Model):
 
     def loss(self, params, state, batch: PairwiseBatch, graph: DeviceGraph, rng):
         user_all, item_all = self._forward(params, graph)
-        u = user_all[batch.users]
-        pos = item_all[batch.pos_items]
-        neg = item_all[batch.neg_items]
+        u = take_rows(user_all, batch.users)
+        pos = take_rows(item_all, batch.pos_items)
+        neg = take_rows(item_all, batch.neg_items)
         y = jnp.sum(u * pos, axis=1) - jnp.sum(u * neg, axis=1)
         pairwise = -jnp.sum(jnp.log(jax.nn.sigmoid(y) + 1e-10))
         reg = self.reg_u * (

@@ -20,6 +20,7 @@ from recommendation_tpu.models.base import Model
 from recommendation_tpu.models.lightgcn import lightgcn_propagate
 from recommendation_tpu.models.registry import register
 from recommendation_tpu.sampling import PairwiseBatch
+from recommendation_tpu.ops.rows import take_rows
 
 
 @register("directau")
@@ -59,9 +60,9 @@ class DirectAU(Model):
         user_all, item_all = lightgcn_propagate(
             params["user_emb"], params["item_emb"], self._adj(graph), self.n_layers
         )
-        u = user_all[batch.users]
-        pos = item_all[batch.pos_items]
-        neg = item_all[batch.neg_items]
+        u = take_rows(user_all, batch.users)
+        pos = take_rows(item_all, batch.pos_items)
+        neg = take_rows(item_all, batch.neg_items)
         loss = self._au(u, pos)
         if self.neg_composition:
             loss = loss - self._au(u, neg)

@@ -40,6 +40,7 @@ from recommendation_tpu.sampling import PairwiseBatch
 
 from recommendation_tpu.losses import _l2_normalize as _l2n  # zero-safe gradient
 from recommendation_tpu.losses import safe_frobenius_norm
+from recommendation_tpu.ops.rows import take_rows
 
 
 def gumbel_softmax(rng, logits, temperature=0.2, eps=1e-10):
@@ -150,14 +151,14 @@ class ESRF(Model):
             alt = jnp.zeros((graph.n_users, graph.n_users))
             ue, ie = self._discriminator(params["d"], graph, alt, is_social=False)
             return self._bpr_sum(
-                ue[batch.users], ie[batch.pos_items], ie[batch.neg_items]
+                take_rows(ue, batch.users), take_rows(ie, batch.pos_items), take_rows(ie, batch.neg_items)
             )
 
         def phase1(_):
             alt = jax.lax.stop_gradient(self._generator(params["g"], graph, k_gen))
             ue, ie = self._discriminator(params["d"], graph, alt, is_social=True)
             return self._bpr_sum(
-                ue[batch.users], ie[batch.pos_items], ie[batch.neg_items]
+                take_rows(ue, batch.users), take_rows(ie, batch.pos_items), take_rows(ie, batch.neg_items)
             )
 
         def phase2(_):
@@ -165,9 +166,9 @@ class ESRF(Model):
             alt_stop = jax.lax.stop_gradient(alt)
             # D objective: alt frozen
             ue, ie = self._discriminator(params["d"], graph, alt_stop, is_social=True)
-            u = ue[batch.users]
-            pos = ie[batch.pos_items]
-            neg = ie[batch.neg_items]
+            u = take_rows(ue, batch.users)
+            pos = take_rows(ie, batch.pos_items)
+            neg = take_rows(ie, batch.neg_items)
             y_ui = jnp.sum(u * pos, axis=1)
             friends = (alt_stop[batch.users] @ ue) / self.K
             if self.alternating:
@@ -188,8 +189,8 @@ class ESRF(Model):
                 # pre-update point (retain_graph before d_step).
                 d_frozen = jax.lax.stop_gradient(params["d"])
                 ue_g, ie_g = self._discriminator(d_frozen, graph, alt, is_social=True)
-                u_g = ue_g[batch.users]
-                pos_g = ie_g[batch.pos_items]
+                u_g = take_rows(ue_g, batch.users)
+                pos_g = take_rows(ie_g, batch.pos_items)
                 y_ui_g = jnp.sum(u_g * pos_g, axis=1)
                 friends_g = (alt[batch.users] @ ue_g) / self.K
                 y_vi_g = jnp.sum(friends_g * pos_g, axis=1)

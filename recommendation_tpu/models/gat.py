@@ -29,6 +29,7 @@ from recommendation_tpu.models.base import Model
 from recommendation_tpu.models.graphsage import bidirectional_edges
 from recommendation_tpu.models.registry import register
 from recommendation_tpu.sampling import PairwiseBatch
+from recommendation_tpu.ops.rows import take_rows
 
 
 def gat_layer(
@@ -360,9 +361,9 @@ class GAT(Model):
 
     def loss(self, params, state, batch: PairwiseBatch, graph: DeviceGraph, rng):
         user_all, item_all = self._forward(params, graph, rng)
-        u = user_all[batch.users]
-        pos = item_all[batch.pos_items]
-        neg = item_all[batch.neg_items]
+        u = take_rows(user_all, batch.users)
+        pos = take_rows(item_all, batch.pos_items)
+        neg = take_rows(item_all, batch.neg_items)
         loss = bpr_loss(u, pos, neg) + l2_reg_loss(self.reg, u, pos, neg) / batch.users.shape[0]
         return loss, state
 

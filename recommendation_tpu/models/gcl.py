@@ -23,6 +23,7 @@ from recommendation_tpu.models.base import Model
 from recommendation_tpu.models.registry import register
 from recommendation_tpu.ops.spmm import adj_matmul
 from recommendation_tpu.sampling import PairwiseBatch
+from recommendation_tpu.ops.rows import take_rows
 
 
 @register("gcl")
@@ -86,9 +87,9 @@ class GCL(Model):
 
         ssl = sym_nce(u1, u2) + sym_nce(i1, i2)
 
-        u_e = u1[batch.users]
-        p_e = i1[batch.pos_items]
-        n_e = i1[batch.neg_items]
+        u_e = take_rows(u1, batch.users)
+        p_e = take_rows(i1, batch.pos_items)
+        n_e = take_rows(i1, batch.neg_items)
         pos = jnp.sum(u_e * p_e, axis=1)
         neg = jnp.sum(u_e * n_e, axis=1)
         bpr = -jnp.mean(jax.nn.log_sigmoid(pos - neg))

@@ -23,7 +23,7 @@ from recommendation_tpu.ops.spmm import adj_matmul
 from recommendation_tpu.sampling import PairwiseBatch, sample_negatives, sample_pointwise
 
 
-def _use_prop_kernel(n_users: int, n_items: int, d: int) -> bool:
+def _use_prop_kernel(n_users: int, n_items: int, d: int, r_itemsize: int = 2) -> bool:
     """Gate for the fused Pallas propagation kernel: TPU platform (Mosaic
     compile; CPU keeps the XLA chain — interpret mode is test-only), shapes
     within the VMEM budget, not disabled via RECTPU_PROP_KERNEL=off."""
@@ -35,7 +35,7 @@ def _use_prop_kernel(n_users: int, n_items: int, d: int) -> bool:
         return False
     from recommendation_tpu.ops.pallas_prop import chain_supported
 
-    return chain_supported(n_users, n_items, d)
+    return chain_supported(n_users, n_items, d, r_itemsize)
 
 
 def lightgcn_propagate(
@@ -72,6 +72,15 @@ def lightgcn_propagate(
                 return jnp.dot(a, b.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
 
         else:
+            if not return_layers and _use_prop_kernel(
+                n_users, item_emb.shape[0], user_emb.shape[1], r_itemsize=4
+            ):
+                # f32 kernel variant (round 4): f32-configured models —
+                # DirectAU/SelfCF/BUIR default configs among them — keep the
+                # VMEM-resident chain instead of silently losing it
+                from recommendation_tpu.ops.pallas_prop import dense_chain_mean
+
+                return dense_chain_mean(r, user_emb, item_emb, n_layers)
 
             def mm(a, b):
                 return jnp.dot(a, b, preferred_element_type=jnp.float32)

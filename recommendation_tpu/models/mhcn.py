@@ -21,6 +21,7 @@ from recommendation_tpu.sampling import PairwiseBatch
 
 
 from recommendation_tpu.losses import _l2_normalize as _l2n  # zero-safe gradient
+from recommendation_tpu.ops.rows import take_rows
 
 
 @register("mhcn")
@@ -93,7 +94,7 @@ class MHCN(Model):
     def loss(self, params, state, batch: PairwiseBatch, graph: DeviceGraph, rng):
         user_all, item_all = self._forward(params, graph)
         rec = bpr_loss(
-            user_all[batch.users], item_all[batch.pos_items], item_all[batch.neg_items]
+            take_rows(user_all, batch.users), take_rows(item_all, batch.pos_items), take_rows(item_all, batch.neg_items)
         )
         # L2 over ALL parameters, unsquared norms (`mhcn.py:522-525`);
         # eps inside the sqrt keeps the gradient finite at exactly-zero

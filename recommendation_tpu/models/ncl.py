@@ -28,6 +28,7 @@ from recommendation_tpu.sampling import PairwiseBatch
 
 
 from recommendation_tpu.losses import _l2_normalize as _l2n  # zero-safe gradient
+from recommendation_tpu.ops.rows import take_rows
 
 
 @register("ncl")
@@ -129,8 +130,8 @@ class NCL(Model):
 
         cu, ci = context[:n_users], context[n_users:]
         iu, ii = initial[:n_users], initial[n_users:]
-        n_cu, n_iu = _l2n(cu[users]), _l2n(iu[users])
-        n_ci, n_ii = _l2n(ci[items]), _l2n(ii[items])
+        n_cu, n_iu = _l2n(take_rows(cu, users)), _l2n(take_rows(iu, users))
+        n_ci, n_ii = _l2n(take_rows(ci, items)), _l2n(take_rows(ii, items))
         pos_u = jnp.sum(n_cu * n_iu, axis=1) / self.ssl_temp
         denom_u = catalog_lse(n_cu, _l2n(iu), self.ssl_temp)
         loss_u = -jnp.sum(pos_u - denom_u)
@@ -145,14 +146,14 @@ class NCL(Model):
         item_emb = initial[n_users:]
         u2c = state["user_centroids"][state["user_2cluster"][users]]
         i2c = state["item_centroids"][state["item_2cluster"][items]]
-        loss_u = info_nce(user_emb[users], u2c, self.ssl_temp) * batch_size
-        loss_i = info_nce(item_emb[items], i2c, self.ssl_temp) * batch_size
+        loss_u = info_nce(take_rows(user_emb, users), u2c, self.ssl_temp) * batch_size
+        loss_i = info_nce(take_rows(item_emb, items), i2c, self.ssl_temp) * batch_size
         return self.proto_reg * (loss_u + loss_i)
 
     def loss(self, params, state, batch: PairwiseBatch, graph: DeviceGraph, rng):
         user_all, item_all, layers = self._forward_layers(params, graph)
         users, pos, neg = batch.users, batch.pos_items, batch.neg_items
-        rec = bpr_loss(user_all[users], item_all[pos], item_all[neg])
+        rec = bpr_loss(take_rows(user_all, users), take_rows(item_all, pos), take_rows(item_all, neg))
         initial = layers[0]
         ctx_idx = self.hyper_layers * 2
         context = layers[-1] if ctx_idx >= len(layers) else layers[ctx_idx]
@@ -175,7 +176,7 @@ class NCL(Model):
                 "item_2cluster": ia.astype(jnp.int32),
             }
         proto = self._proto_nce(state, initial, users, pos, graph.n_users, users.shape[0])
-        reg = l2_reg_loss(self.reg, user_all[users], item_all[pos], item_all[neg]) / users.shape[0]
+        reg = l2_reg_loss(self.reg, take_rows(user_all, users), take_rows(item_all, pos), take_rows(item_all, neg)) / users.shape[0]
         return rec + reg + ssl + proto, state
 
     def eval_embeddings(self, params, state, graph: DeviceGraph):

@@ -23,6 +23,7 @@ from recommendation_tpu.models.base import Model
 from recommendation_tpu.models.lightgcn import lightgcn_propagate
 from recommendation_tpu.models.registry import register
 from recommendation_tpu.sampling import PairwiseBatch
+from recommendation_tpu.ops.rows import take_rows
 
 
 @register("selfcf")
@@ -59,8 +60,8 @@ class SelfCF(Model):
             bipartite_dense=getattr(graph, "interaction_norm_dense", None),
         )
         users, items = batch.users, batch.pos_items
-        u_rows = u_online[users]
-        i_rows = i_online[items]
+        u_rows = take_rows(u_online, users)
+        i_rows = take_rows(i_online, items)
 
         # Momentum target from history (no grad through either term).
         u_target = jax.lax.stop_gradient(

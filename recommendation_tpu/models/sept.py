@@ -32,6 +32,7 @@ from recommendation_tpu.sampling import PairwiseBatch
 
 
 from recommendation_tpu.losses import _l2_normalize as _l2n  # zero-safe gradient
+from recommendation_tpu.ops.rows import take_rows
 
 
 def sept_encoder(emb, adj, n_layers, readout: str = "sum"):
@@ -116,25 +117,25 @@ class SEPT(Model):
     def loss(self, params, state, batch: PairwiseBatch, graph: DeviceGraph, rng):
         rec_u, rec_i, aug_u, friend, sharing = self._views(params, state, graph)
         users = batch.users
-        rec = bpr_loss(rec_u[users], rec_i[batch.pos_items], rec_i[batch.neg_items])
+        rec = bpr_loss(take_rows(rec_u, users), take_rows(rec_i, batch.pos_items), take_rows(rec_i, batch.neg_items))
         rec = rec + self.reg * (
             jnp.sum(params["user_emb"] ** 2) + jnp.sum(params["item_emb"] ** 2)
         )
 
         # tri-view pseudo-label SSL over the batch users
-        aug_b = aug_u[users]
-        f_prob = self._label_prediction(friend[users], aug_b)
-        s_prob = self._label_prediction(sharing[users], aug_b)
-        r_prob = self._label_prediction(rec_u[users], aug_b)
+        aug_b = take_rows(aug_u, users)
+        f_prob = self._label_prediction(take_rows(friend, users), aug_b)
+        s_prob = self._label_prediction(take_rows(sharing, users), aug_b)
+        r_prob = self._label_prediction(take_rows(rec_u, users), aug_b)
         k = min(self.instance_cnt, users.shape[0])
 
         def pseudo(p1, p2):
             return jax.lax.top_k((p1 + p2) / 2.0, k)[1]
 
         ssl = (
-            self._neighbor_discrimination(pseudo(s_prob, r_prob), friend[users], aug_b)
-            + self._neighbor_discrimination(pseudo(f_prob, r_prob), sharing[users], aug_b)
-            + self._neighbor_discrimination(pseudo(f_prob, s_prob), rec_u[users], aug_b)
+            self._neighbor_discrimination(pseudo(s_prob, r_prob), take_rows(friend, users), aug_b)
+            + self._neighbor_discrimination(pseudo(f_prob, r_prob), take_rows(sharing, users), aug_b)
+            + self._neighbor_discrimination(pseudo(f_prob, s_prob), take_rows(rec_u, users), aug_b)
         )
         total = rec + state["ssl_on"] * self.ss_rate * ssl
         return total, state
@@ -173,7 +174,7 @@ class SEPTBasic(Model):
         ego = jnp.concatenate([params["user_emb"], params["item_emb"]], axis=0)
         out = sept_encoder(ego, adj, self.n_layers, readout="mean")
         u, i = out[: graph.n_users], out[graph.n_users :]
-        ue, ie, je = u[batch.users], i[batch.pos_items], i[batch.neg_items]
+        ue, ie, je = take_rows(u, batch.users), take_rows(i, batch.pos_items), take_rows(i, batch.neg_items)
         loss = bpr_loss(ue, ie, je)
         # batch-row squared-norm reg / 2 (`sept.py:242-243`)
         loss = loss + self.reg * (

@@ -18,6 +18,7 @@ from recommendation_tpu.losses import batch_softmax_loss, info_nce, l2_reg_loss
 from recommendation_tpu.models.base import Model
 from recommendation_tpu.models.registry import register
 from recommendation_tpu.sampling import PairwiseBatch
+from recommendation_tpu.ops.rows import take_rows
 
 
 def mlp_apply(layers, x, final_tanh=True):
@@ -62,8 +63,8 @@ class SSL4Rec(Model):
         return params, {}
 
     def towers(self, params, user_ids, item_ids):
-        u = mlp_apply(params["user_net"], params["user_emb"][user_ids])
-        i = mlp_apply(params["item_net"], params["item_emb"][item_ids])
+        u = mlp_apply(params["user_net"], take_rows(params["user_emb"], user_ids))
+        i = mlp_apply(params["item_net"], take_rows(params["item_emb"], item_ids))
         return u, i
 
     def loss(self, params, state, batch: PairwiseBatch, graph: DeviceGraph, rng):
@@ -72,7 +73,7 @@ class SSL4Rec(Model):
 
         # CL: two dropout views of the raw item embeddings through the tower.
         k1, k2 = jax.random.split(rng)
-        raw = params["item_emb"][batch.pos_items]
+        raw = take_rows(params["item_emb"], batch.pos_items)
 
         def dropout(key, x):
             keep = jax.random.bernoulli(key, 1.0 - self.drop, x.shape)

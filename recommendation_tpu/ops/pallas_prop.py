@@ -47,10 +47,14 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def chain_supported(n_users: int, n_items: int, d: int) -> bool:
-    """True when the fused kernel's working set fits the VMEM budget."""
+def chain_supported(n_users: int, n_items: int, d: int, r_itemsize: int = 2) -> bool:
+    """True when the fused kernel's working set fits the VMEM budget.
+
+    ``r_itemsize`` is R̂'s bytes/element (2 for the bf16 compute regime,
+    4 for the f32 one — the f32 kernel keeps full precision on the MXU and
+    halves the supported shape envelope accordingly)."""
     up, ip, dp = _round_up(n_users, 16), _round_up(n_items, 128), _round_up(d, 128)
-    r_bytes = up * ip * 2
+    r_bytes = up * ip * r_itemsize
     tables = 3 * (up + ip) * dp * 4
     return r_bytes + tables <= _VMEM_BUDGET and d <= 256
 
@@ -63,39 +67,51 @@ def _chain_kernel(n_layers, forward, r_ref, u_ref, i_ref, au_ref, ai_ref):
     Both directions are L rounds of the same two matmuls; the backward's
     1/(L+1) scaling is applied by the wrapper (linear map, so it commutes).
     """
-    r = r_ref[:]  # [U, I] bf16, stays in VMEM for the whole chain
-    u = u_ref[:]
-    i = i_ref[:]
+    r = r_ref[:]  # [U, I] bf16 or f32, stays in VMEM for the whole chain
+    # operand dtype follows R̂: bf16 regime casts the running tables down per
+    # dot (matching the XLA chain's mm exactly); f32 regime keeps f32 on the
+    # MXU (full precision, ~half throughput).
+    # VMEM discipline: the running layer tables rebind SEQUENTIALLY (new_u
+    # lands before i is overwritten, whose old value new_i no longer needs)
+    # and the readout accumulates INTO the output refs — peak live set is
+    # R̂ + 3 table-pairs instead of 5, which is what lets the f32 variant
+    # fit the 16 MB scoped-vmem limit at the headline shape (the naive
+    # form compiled to 16.75 MB and was rejected, round 4).
+    cast = (lambda x: x.astype(jnp.bfloat16)) if r.dtype == jnp.bfloat16 else (lambda x: x)
+
+    def mm(a, b):
+        return jnp.dot(a, cast(b), preferred_element_type=jnp.float32)
+
+    def mmt(a, b):
+        return jax.lax.dot_general(
+            a, cast(b),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
     if forward:
-        acc_u, acc_i = u, i
+        u = u_ref[:]
+        i = i_ref[:]
+        au_ref[:] = u
+        ai_ref[:] = i
         for _ in range(n_layers):
-            u, i = (
-                jnp.dot(r, i.astype(jnp.bfloat16), preferred_element_type=jnp.float32),
-                jax.lax.dot_general(
-                    r,
-                    u.astype(jnp.bfloat16),
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ),
-            )
-            acc_u, acc_i = acc_u + u, acc_i + i
+            nu = mm(r, i)      # needs old i
+            i = mmt(r, u)      # needs old u; old i now dead
+            u = nu
+            au_ref[:] += u
+            ai_ref[:] += i
         inv = 1.0 / (n_layers + 1.0)
-        au_ref[:] = acc_u * inv
-        ai_ref[:] = acc_i * inv
+        au_ref[:] *= inv
+        ai_ref[:] *= inv
     else:
-        gu, gi = u, i
-        au, ai = gu, gi
+        # au_k = gu + R̂ ai_{k+1} ; ai_k = gi + R̂ᵀ au_{k+1} — the cotangent
+        # seeds (gu, gi) are re-read from the input refs instead of held live
+        au = u_ref[:]
+        ai = i_ref[:]
         for _ in range(n_layers):
-            au, ai = (
-                gu + jnp.dot(r, ai.astype(jnp.bfloat16), preferred_element_type=jnp.float32),
-                gi
-                + jax.lax.dot_general(
-                    r,
-                    au.astype(jnp.bfloat16),
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ),
-            )
+            nau = u_ref[:] + mm(r, ai)   # needs old ai
+            ai = i_ref[:] + mmt(r, au)   # needs old au; old ai now dead
+            au = nau
         au_ref[:] = au
         ai_ref[:] = ai
 
@@ -130,9 +146,10 @@ def dense_chain_mean(r_bf16, u0, i0, n_layers: int, interpret: bool = False):
     item_mean [I, d]); gradients flow to u0/i0 (adjacency is constant —
     same contract as `graph/bucketed.py::bucketed_chain_mean`).
 
-    ``r_bf16``: R̂ as bf16 [U, I] (the dense backend's compute dtype; the
-    f32 path stays on the XLA chain). ``interpret=True`` runs the Pallas
-    interpreter (CPU tests)."""
+    ``r_bf16``: R̂ as bf16 OR f32 [U, I] — the kernel computes in R̂'s dtype
+    (bf16 matches the dense backend's MXU mode; f32 keeps full precision for
+    f32-configured models, round-4 f32 variant). ``interpret=True`` runs the
+    Pallas interpreter (CPU tests)."""
     return _chain_fwd(r_bf16, u0, i0, n_layers, interpret)[0]
 
 

@@ -59,10 +59,51 @@ def bits_to_ints(bits: jnp.ndarray, n: int) -> jnp.ndarray:
 
 def uniform_ints(rng: jax.Array, shape, n: int) -> jnp.ndarray:
     """Uniform i32 draws in [0, n) via ``bits_to_ints`` (one ``bits`` call,
-    no modulo); n ≥ 2^24 (no current regime) falls back to randint."""
-    if n > (1 << 24):
+    no modulo); n ≥ 2^24 (no current regime) falls back to randint — the
+    same strict bound ``sample_negatives`` uses (n == 2^24 would be exact in
+    ``bits_to_ints`` — scale is exactly 1.0 — but keep the three call sites
+    agreeing on one condition)."""
+    if n >= (1 << 24):
         return jax.random.randint(rng, shape, 0, n)
     return bits_to_ints(jax.random.bits(rng, shape, jnp.uint32), n)
+
+
+def keyed_permutation(rng: jax.Array, n: int, rounds: int = 64) -> jnp.ndarray:
+    """Exact pseudorandom permutation of ``[0, n)`` in O(rounds·n)
+    ELEMENTWISE work — the sort-free epoch shuffle.
+
+    ``jax.random.permutation`` lowers to a full sort network (measured
+    1.2 ms at n=82k on TPU v5e = 31 us/step of the headline epoch, and the
+    sort is the single largest machinery item on the 1M-edge path). This is
+    the swap-or-not shuffle (Hoang–Morris–Rogaway): round r draws a key
+    K_r ∈ [0, n) and pairs x ↔ (K_r − x) mod n; the pair swaps iff a hash
+    bit of the pair's canonical member says so. Each round is a permutation
+    for ANY key (the pairing is an involution and both partners compute the
+    same bit), so the composition is always an exact bijection — verified by
+    tests/test_sampling.py::test_keyed_permutation_is_bijection.
+
+    Mixing quality: rounds = 64 ≈ 4·lg(n) for million-edge graphs, beyond
+    the Θ(lg n) mixing bound. SGD epoch shuffling needs far less — and the
+    reference's own shuffle is Python's Mersenne-driven Fisher–Yates
+    (`selfcf.py:193` ``shuffle(...)``), also a PRG-driven permutation
+    family, so the uniformity CLASS is unchanged, only the family.
+
+    The modulo is compare-add (operands already in [0, n)); the hash is a
+    murmur-style multiply-xor-shift — no integer divide anywhere (TPU has
+    none in hardware; see ``bits_to_ints``)."""
+    k1, k2 = jax.random.split(rng)
+    ks = uniform_ints(k1, (rounds,), n)
+    salts = jax.random.bits(k2, (rounds,), jnp.uint32)
+    x = jnp.arange(n, dtype=jnp.int32)
+    for r in range(rounds):
+        xp = ks[r] - x
+        xp = jnp.where(xp < 0, xp + n, xp)
+        mx = jnp.maximum(x, xp).astype(jnp.uint32)
+        h = (mx * jnp.uint32(0x9E3779B1)) ^ salts[r]
+        h = (h ^ (h >> 15)) * jnp.uint32(0x85EBCA6B)
+        h = h ^ (h >> 13)
+        x = jnp.where((h & 1) > 0, xp, x)
+    return x
 
 
 def _is_positive(graph: DeviceGraph, users: jnp.ndarray, items: jnp.ndarray) -> jnp.ndarray:
@@ -170,6 +211,64 @@ def sample_negatives(
     return jnp.where(still_bad, fallback, neg)
 
 
+def sample_negatives_epoch(
+    rng: jax.Array,
+    graph: DeviceGraph,
+    users: jnp.ndarray,
+    n_redraws: int = 4,
+) -> jnp.ndarray:
+    """Negatives for a WHOLE epoch of batches in one fused call.
+
+    ``users`` is i32[n_batches, B] (from :func:`shuffled_epoch`); returns
+    negatives of the same shape, with the identical never-a-train-positive
+    guarantee as :func:`sample_negatives`.
+
+    Why a separate entry point (round-4 probe, tools/probe_sampler.py): the
+    per-batch form run over an epoch — whether scanned in-step or vmapped —
+    costs ~71 us/step at the headline shape, and almost none of it is the
+    membership test (4.7 us). The rest is per-batch key plumbing and, above
+    all, the SCALAR fallback gather (21.7 us/step: 1-element gathers run at
+    ~10 ns/slot vs ~1.2 ns for row gathers). This form draws one bits block
+    for the epoch and gathers ONE fused row per example — membership words
+    and fallback candidates together (`graph.user_bitmap_fb`) — then selects
+    the fallback column with an in-register compare over n_fb lanes.
+
+    Non-bitmap regimes (huge tables / binary-search fallbacks) keep the
+    per-batch sampler under vmap: their membership rows are too wide to
+    fuse, and those regimes are not sampling-bound.
+    """
+    if not getattr(graph, "has_pos_bitmap", False) or graph.n_items >= (1 << 24):
+        n_batches = users.shape[0]
+        keys = jax.random.split(rng, n_batches)
+        return jax.vmap(
+            lambda k, u: sample_negatives(k, graph, u, n_redraws)
+        )(keys, users)
+
+    k = n_redraws + 1
+    n_fb = graph.user_fallback_neg.shape[1]
+    w = graph.user_pos_bitmap.shape[1]
+    uflat = users.reshape(-1)
+    n = uflat.shape[0]
+    all_bits = jax.random.bits(rng, (k + 1, n), jnp.uint32)
+    draws = bits_to_ints(all_bits[:k], graph.n_items)  # [k, N]
+    fb_col = bits_to_ints(all_bits[k], n_fb)  # [N]
+    rows = graph.user_bitmap_fb[uflat]  # [N, W + n_fb] — the one gather
+    bmp, fb_rows = rows[:, :w], rows[:, w:]
+    dw = draws >> 5  # [k, N]
+    iw = jnp.arange(w, dtype=dw.dtype)
+    sel = iw[None, None, :] == dw[:, :, None]  # [k, N, W]
+    word = jnp.sum(jnp.where(sel, bmp[None], 0), axis=2)  # [k, N]
+    bad = ((word >> (draws & 31)) & 1) > 0
+    first_good = jnp.argmax(~bad, axis=0)
+    chosen = jnp.take_along_axis(draws, first_good[None, :], axis=0)[0]
+    lane = jnp.arange(n_fb, dtype=fb_col.dtype)
+    fallback = jnp.sum(
+        jnp.where(lane[None, :] == fb_col[:, None], fb_rows, 0), axis=1
+    )
+    negs = jnp.where(jnp.all(bad, axis=0), fallback.astype(chosen.dtype), chosen)
+    return negs.reshape(users.shape)
+
+
 def sample_pointwise(
     rng: jax.Array,
     graph: DeviceGraph,
@@ -214,7 +313,7 @@ def shuffled_epoch(
     e = graph.n_edges
     n_batches = max(1, -(-e // batch_size))
     total = n_batches * batch_size
-    perm = jax.random.permutation(rng, e)
+    perm = keyed_permutation(rng, e)
     if total > e:
         # tile enough copies for any batch_size > e (a single cyclic slice
         # cannot supply more than e extra indices)
@@ -222,8 +321,11 @@ def shuffled_epoch(
         idx = jnp.tile(perm, reps)[:total]
     else:
         idx = perm
-    users = graph.edge_users[idx].reshape(n_batches, batch_size)
-    items = graph.edge_items[idx].reshape(n_batches, batch_size)
+    # one [total, 2] ROW gather materializes both columns: scalar-element
+    # gathers run ~10 ns/element on this TPU (tools/probe_edge_shuffle.py)
+    rows = graph.edge_ui[idx]
+    users = rows[:, 0].reshape(n_batches, batch_size)
+    items = rows[:, 1].reshape(n_batches, batch_size)
     weight = jnp.ones((n_batches, batch_size), dtype=jnp.float32)
     return users, items, weight, n_batches
 

@@ -17,7 +17,11 @@ import optax
 
 from recommendation_tpu.graph.device import DeviceGraph
 from recommendation_tpu.models.base import Model
-from recommendation_tpu.sampling import PairwiseBatch, sample_negatives, shuffled_epoch
+from recommendation_tpu.sampling import (
+    PairwiseBatch,
+    sample_negatives_epoch,
+    shuffled_epoch,
+)
 
 
 def make_optimizer(config) -> optax.GradientTransformation:
@@ -103,16 +107,16 @@ def make_epoch_fn(
     def epoch_fn(graph: DeviceGraph, params, opt_state, state, rng):
         shuffle_key, neg_key, step_key = jax.random.split(rng, 3)
         users, items, weights, n_batches = shuffled_epoch(shuffle_key, graph, batch_size)
-        neg_keys = jax.random.split(neg_key, n_batches)
         step_keys = jax.random.split(step_key, n_batches)
+        # negatives for the WHOLE epoch in one fused call: the per-step form
+        # serialized a fresh threefry key block, per-batch key splits and a
+        # scalar fallback gather into every step (~32 us/step measured,
+        # round-4 ablation + tools/probe_sampler.py).
+        negs = sample_negatives_epoch(neg_key, graph, users, n_negs_redraws)
 
         def step(carry, xs):
             params, opt_state, state = carry
-            u, i, nk, w, k = xs
-            # negatives sampled INSIDE the step: the positives gather +
-            # compare overlaps the propagation matmuls in the step's
-            # schedule instead of serializing as an up-front epoch phase
-            j = sample_negatives(nk, graph, u, n_negs_redraws)
+            u, i, j, w, k = xs
             batch = PairwiseBatch(u, i, j, w)
             (loss, new_state), grads = grad_fn(params, state, batch, graph, k)
             # per-step NaN guard: a non-finite loss skips the update instead
@@ -131,7 +135,7 @@ def make_epoch_fn(
             return (params, opt_state, new_state), loss
 
         (params, opt_state, state), losses = jax.lax.scan(
-            step, (params, opt_state, state), (users, items, neg_keys, weights, step_keys)
+            step, (params, opt_state, state), (users, items, negs, weights, step_keys)
         )
         finite = jnp.isfinite(losses)
         mean_loss = jnp.sum(jnp.where(finite, losses, 0.0)) / jnp.maximum(
@@ -149,10 +153,7 @@ def make_epoch_fn(
     def sample_all(graph, rng):
         shuffle_key, neg_key, step_key = jax.random.split(rng, 3)
         users, items, weights, n_batches = shuffled_epoch(shuffle_key, graph, batch_size)
-        neg_keys = jax.random.split(neg_key, n_batches)
-        negs = jax.vmap(lambda k, u: sample_negatives(k, graph, u, n_negs_redraws))(
-            neg_keys, users
-        )
+        negs = sample_negatives_epoch(neg_key, graph, users, n_negs_redraws)
         step_keys = jax.random.split(step_key, n_batches)
         return users, items, negs, weights, step_keys
 
@@ -237,37 +238,46 @@ def make_multi_epoch_fn(
 
     grad_fn = jax.value_and_grad(loss_wrapper, has_aux=True)
 
+    # memory gate for hoisting every epoch's batch arrays at once:
+    # 4 arrays (users/items/negs i32, weights f32) of [E, nb, B] plus the
+    # step keys. 64M elements ≈ 1 GB total — far below HBM but far above
+    # any fused-epoch window the trainer or bench actually uses.
+    HOIST_ALL_MAX_ELEMENTS = 64 * 1024 * 1024
+
     def run(graph: DeviceGraph, params, opt_state, state, rng):
-        def one_epoch(carry, epoch_rng):
-            params, opt_state, state = carry
+        def epoch_arrays(epoch_rng):
+            """Shuffle + key material + negatives for ONE epoch. Every
+            epoch-level path (make_epoch_fn plain + chunked, this one) draws
+            through the same ``sample_negatives_epoch``, so fused, unfused
+            and chunked trainers stay bit-identical to each other
+            (tests/test_train_extras.py)."""
             shuffle_key, neg_key, step_key = jax.random.split(epoch_rng, 3)
             users, items, weights, n_batches = shuffled_epoch(
                 shuffle_key, graph, batch_size
             )
-            neg_keys = jax.random.split(neg_key, n_batches)
+            negs = sample_negatives_epoch(neg_key, graph, users, n_negs_redraws)
             step_keys = jax.random.split(step_key, n_batches)
+            return users, items, negs, weights, step_keys
 
-            def step(carry, xs):
-                params, opt_state, state = carry
-                u, i, nk, w, k = xs
-                j = sample_negatives(nk, graph, u, n_negs_redraws)
-                batch = PairwiseBatch(u, i, j, w)
-                (loss, new_state), grads = grad_fn(params, state, batch, graph, k)
-                ok = jnp.isfinite(loss)
-                grads = jax.tree_util.tree_map(
-                    lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads
-                )
-                updates, opt_state = optimizer.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                new_state = jax.tree_util.tree_map(
-                    lambda new, old: jnp.where(ok, new, old), new_state, state
-                )
-                new_state = model.post_step(params, new_state, batch)
-                return (params, opt_state, new_state), loss
-
-            (params, opt_state, state), losses = jax.lax.scan(
-                step, (params, opt_state, state), (users, items, neg_keys, weights, step_keys)
+        def step(carry, xs):
+            params, opt_state, state = carry
+            u, i, j, w, k = xs
+            batch = PairwiseBatch(u, i, j, w)
+            (loss, new_state), grads = grad_fn(params, state, batch, graph, k)
+            ok = jnp.isfinite(loss)
+            grads = jax.tree_util.tree_map(
+                lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads
             )
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            new_state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(ok, new, old), new_state, state
+            )
+            new_state = model.post_step(params, new_state, batch)
+            return (params, opt_state, new_state), loss
+
+        def scan_epoch(carry, xs):
+            carry, losses = jax.lax.scan(step, carry, xs)
             # same finite-masked mean as make_epoch_fn so the fused path is
             # bit-identical to N separate epoch calls
             finite = jnp.isfinite(losses)
@@ -275,7 +285,7 @@ def make_multi_epoch_fn(
                 jnp.sum(finite), 1
             )
             mean_loss = jnp.where(jnp.any(finite), mean_loss, jnp.nan)
-            return (params, opt_state, state), mean_loss
+            return carry, mean_loss
 
         # Stacked per-epoch keys from the trainer vs a single key to split:
         # legacy uint32 keys are shape [2] (single) / [n, 2] (stacked); typed
@@ -292,9 +302,26 @@ def make_multi_epoch_fn(
             epoch_rngs = rng
         else:
             epoch_rngs = jax.random.split(rng, n_epochs)
-        (params, opt_state, state), epoch_losses = jax.lax.scan(
-            one_epoch, (params, opt_state, state), epoch_rngs
-        )
+
+        n_batches = max(1, -(-graph.n_edges // batch_size))
+        if n_epochs * n_batches * batch_size <= HOIST_ALL_MAX_ELEMENTS:
+            # hoist EVERY epoch's shuffle + negatives out of the epoch scan:
+            # the E permutation sorts collapse into one batched sort and the
+            # E×nb threefry blocks into a handful of big vectorized calls —
+            # this was ~66 us/step of epoch machinery (~40% of the bench
+            # step) when run serially inside the scan (round-4 ablation)
+            all_xs = jax.vmap(epoch_arrays)(epoch_rngs)
+            (params, opt_state, state), epoch_losses = jax.lax.scan(
+                scan_epoch, (params, opt_state, state), all_xs
+            )
+        else:
+
+            def one_epoch(carry, epoch_rng):
+                return scan_epoch(carry, epoch_arrays(epoch_rng))
+
+            (params, opt_state, state), epoch_losses = jax.lax.scan(
+                one_epoch, (params, opt_state, state), epoch_rngs
+            )
         return params, opt_state, state, epoch_losses
 
     return jax.jit(run)

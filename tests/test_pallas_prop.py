@@ -71,3 +71,56 @@ def test_propagate_gate_off_on_cpu(monkeypatch):
 
     assert jax.default_backend() == "cpu"
     assert not _use_prop_kernel(943, 1682, 64)
+
+
+@pytest.mark.parametrize("n_layers", [1, 3])
+def test_chain_f32_matches_xla(n_layers):
+    """f32 kernel variant (round 4): both dots stay f32 on the MXU, so the
+    match against the f32 XLA chain is tight — not bf16-tolerance."""
+    rng = np.random.default_rng(1)
+    n_u, n_i, d = 37, 53, 8
+    r = jnp.asarray(rng.normal(size=(n_u, n_i)).astype(np.float32) * 0.1)
+    u0 = jnp.asarray(rng.normal(size=(n_u, d)).astype(np.float32))
+    i0 = jnp.asarray(rng.normal(size=(n_i, d)).astype(np.float32))
+
+    def mm(a, b):
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+    u, i = u0, i0
+    acc_u, acc_i = u, i
+    for _ in range(n_layers):
+        u, i = mm(r, i), mm(r.T, u)
+        acc_u, acc_i = acc_u + u, acc_i + i
+    inv = 1.0 / (n_layers + 1.0)
+    want_u, want_i = acc_u * inv, acc_i * inv
+
+    got_u, got_i = dense_chain_mean(r, u0, i0, n_layers, True)
+    np.testing.assert_allclose(got_u, want_u, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(got_i, want_i, rtol=1e-5, atol=1e-6)
+
+    gu_ker, gi_ker = jax.grad(
+        lambda a, b: jnp.sum(dense_chain_mean(r, a, b, n_layers, True)[0] ** 2)
+        + jnp.sum(jnp.sin(dense_chain_mean(r, a, b, n_layers, True)[1])),
+        argnums=(0, 1),
+    )(u0, i0)
+
+    def xla_loss(a, b):
+        u, i = a, b
+        acc_u, acc_i = u, i
+        for _ in range(n_layers):
+            u, i = mm(r, i), mm(r.T, u)
+            acc_u, acc_i = acc_u + u, acc_i + i
+        au, ai = acc_u * inv, acc_i * inv
+        return jnp.sum(au ** 2) + jnp.sum(jnp.sin(ai))
+
+    gu_ref, gi_ref = jax.grad(xla_loss, argnums=(0, 1))(u0, i0)
+    np.testing.assert_allclose(gu_ker, gu_ref, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(gi_ker, gi_ref, rtol=1e-5, atol=1e-6)
+
+
+def test_chain_f32_budget_gate():
+    # f32 R̂ doubles the resident bytes: the headline shape still fits,
+    # a 2x-items shape that fits at bf16 no longer does at f32
+    assert chain_supported(943, 1682, 64, r_itemsize=4)
+    assert chain_supported(1200, 2048, 64, r_itemsize=2)
+    assert not chain_supported(1200, 2048, 64, r_itemsize=4)

@@ -209,3 +209,59 @@ def test_sample_negatives_bitmap_never_positive(tiny_graph):
     u = np.asarray(users)
     hits = sum(int(negs[b] in pos[u[b]][pos[u[b]] >= 0]) for b in range(len(u)))
     assert hits == 0
+
+
+def test_sample_negatives_epoch_never_positive(tiny_graph):
+    """Epoch-fused sampler (one bits block + one fused bitmap/fallback row
+    gather) keeps the exact never-a-train-positive guarantee."""
+    from recommendation_tpu.sampling import sample_negatives_epoch
+
+    users, items, w, nb = shuffled_epoch(jax.random.PRNGKey(3), tiny_graph, 128)
+    negs = np.asarray(sample_negatives_epoch(jax.random.PRNGKey(4), tiny_graph, users))
+    assert negs.shape == users.shape
+    pos = np.asarray(tiny_graph.user_positives)
+    u_np = np.asarray(users)
+    for b in range(nb):
+        for s in range(u_np.shape[1]):
+            row = pos[u_np[b, s]]
+            assert negs[b, s] not in row[row >= 0]
+    assert 0 <= negs.min() and negs.max() < tiny_graph.n_items
+
+
+def test_sample_negatives_epoch_nonbitmap_regime(tiny_data):
+    """Graphs without a bitmap fall back to the per-batch sampler under vmap
+    (value-identical to looped calls with the same split keys)."""
+    from recommendation_tpu.graph.device import DeviceGraph
+    from recommendation_tpu.sampling import sample_negatives_epoch
+
+    g = DeviceGraph(tiny_data, backend="segment")
+    g.has_pos_bitmap = False
+    users, items, w, nb = shuffled_epoch(jax.random.PRNGKey(3), g, 64)
+    rng = jax.random.PRNGKey(5)
+    negs = np.asarray(sample_negatives_epoch(rng, g, users))
+    keys = jax.random.split(rng, nb)
+    ref = np.stack([
+        np.asarray(sample_negatives(keys[b], g, users[b])) for b in range(nb)
+    ])
+    assert (negs == ref).all()
+
+
+def test_keyed_permutation_is_bijection():
+    from recommendation_tpu.sampling import keyed_permutation
+
+    for n in (1, 2, 7, 256, 81_919):
+        p = np.asarray(keyed_permutation(jax.random.PRNGKey(n), n))
+        assert p.shape == (n,)
+        assert np.array_equal(np.sort(p), np.arange(n)), n
+    # different keys give different permutations; mixing moves most elements
+    a = np.asarray(keyed_permutation(jax.random.PRNGKey(0), 4096))
+    b = np.asarray(keyed_permutation(jax.random.PRNGKey(1), 4096))
+    assert (a != b).mean() > 0.9
+    assert (a != np.arange(4096)).mean() > 0.9
+    # batch composition is near-uniform: position of element 0 across keys
+    # spreads over the domain (chi-square-lite: no half dominates)
+    pos = np.array([
+        int(np.where(np.asarray(keyed_permutation(jax.random.PRNGKey(s), 64)) == 0)[0][0])
+        for s in range(200)
+    ])
+    assert 0.3 < (pos < 32).mean() < 0.7
