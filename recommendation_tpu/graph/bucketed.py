@@ -42,8 +42,12 @@ import jax.numpy as jnp
 import numpy as np
 
 MIN_CAP = 4  # smallest bucket width (bounds tiny-row padding)
-CAP_STEP = 4  # caps are multiples of this up to CAP_POW2_ABOVE, pow2 beyond
+CAP_STEP = 8  # caps are multiples of this up to CAP_POW2_ABOVE, pow2 beyond
 CAP_POW2_ABOVE = 128  # hub tail rows are few; pow2 caps bound bucket count
+# CAP_STEP=8 over 4: +15% padded slots but 23 buckets instead of 39 — the
+# pull is per-GATHER-overhead-bound before it is slot-bound (measured
+# 6.66 -> 6.03 ms/pull at the 1M-edge shape, tools/probe_caps.py round 4;
+# finer schedules cut slots yet run SLOWER, coarser ones blow up slots)
 
 
 @partial(
@@ -70,7 +74,7 @@ class Bucket:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["buckets", "gather_pos", "node_of_row"],
+    data_fields=["buckets", "gather_pos", "node_of_row", "sep_dst", "sep_src_row"],
     meta_fields=["n_rows", "n_cols"],
 )
 @dataclasses.dataclass
@@ -85,6 +89,17 @@ class BucketedCSR:
     # permuted-space chaining (`pull_rowspace`); None on structures built
     # before round 3.
     node_of_row: Optional[jnp.ndarray] = None
+    # SEPARABLE edge values (round 4): when the build detects
+    # val(dst, src) == a[dst] * b[src] — true for every degree-normalized
+    # adjacency this framework constructs (sym D^-1/2 A D^-1/2 and one-sided
+    # D^-1 A) — the pull drops the per-slot multiply entirely: scale the
+    # input rows by b, gather + PLAIN sum (padding slots point at a shared
+    # zero row via Bucket.ridx), scale the output rows by a. Measured
+    # 6.3 -> 4.6 ms/pull at the 1M-edge shape (tools/probe_pull.py).
+    # f32[total_rows + 1] each, in concat-row order, last entry 0; None when
+    # not detected or after refresh_vals (refreshed values get the val path).
+    sep_dst: Optional[jnp.ndarray] = None
+    sep_src_row: Optional[jnp.ndarray] = None
 
     @property
     def total_rows(self) -> int:
@@ -92,16 +107,77 @@ class BucketedCSR:
 
 
 def _host_ridx(
-    gather_pos: np.ndarray, idx: np.ndarray, total_rows: int, n_rows: int, n_cols: int
+    gather_pos: np.ndarray,
+    idx: np.ndarray,
+    total_rows: int,
+    n_rows: int,
+    n_cols: int,
+    dead: Optional[np.ndarray] = None,
 ) -> Optional[jnp.ndarray]:
     """Precomputed row-space translation for one bucket's index table (see
-    ``Bucket.ridx``). Only square patterns chain, so only they carry it."""
+    ``Bucket.ridx``). Only square patterns chain, so only they carry it.
+
+    ``dead`` marks slots that are structurally absent — table padding
+    (edge < 0) and build-time zero-value edges (the symmetric COO padding
+    tail). They point at the shared zero row (index ``total_rows``), which
+    is what lets the separable pull skip the per-slot value multiply; the
+    value path is indifferent (their val is 0 either way). Contract:
+    ``refresh_vals`` may change NONZERO values but never resurrects a
+    build-time zero — every augmentation in the codebase multiplies by a
+    mask, preserving this."""
     if n_rows != n_cols:
         return None
     gp = np.asarray(gather_pos)
-    return jnp.asarray(
-        np.minimum(gp[np.asarray(idx)], max(total_rows - 1, 0)).astype(np.int32)
-    )
+    r = np.minimum(gp[np.asarray(idx)], max(total_rows - 1, 0))
+    if dead is not None:
+        r = np.where(dead, total_rows, r)
+    return jnp.asarray(r.astype(np.int32))
+
+
+def _detect_separable(
+    rows: np.ndarray,
+    cols: np.ndarray,
+    vals: Optional[np.ndarray],
+    n_rows: int,
+    n_cols: int,
+) -> Optional[tuple]:
+    """(a, b) with val(dst, src) == a[dst] * b[src] over nonzero edges, or
+    None. Candidates cover the two normalizations the framework builds
+    (`data/interaction.py::normalize_graph_mat`): symmetric
+    D_r^-1/2 A D_c^-1/2 and one-sided row D_r^-1 A."""
+    if vals is None or n_rows != n_cols or len(rows) == 0:
+        return None
+    v = np.asarray(vals, dtype=np.float64)
+    nz = v != 0
+    if not nz.any():
+        return None
+    rr = np.asarray(rows)[nz].astype(np.int64)
+    cc = np.asarray(cols)[nz].astype(np.int64)
+    vv = v[nz]
+    if not (vv > 0).all():
+        return None
+    rc = np.maximum(np.bincount(rr, minlength=n_rows), 1).astype(np.float64)
+    ccnt = np.maximum(np.bincount(cc, minlength=n_cols), 1).astype(np.float64)
+    for a, b in (
+        (1.0 / np.sqrt(rc), 1.0 / np.sqrt(ccnt)),  # symmetric norm
+        (1.0 / rc, np.ones(n_cols)),  # one-sided row norm
+    ):
+        if np.allclose(vv, a[rr] * b[cc], rtol=1e-5, atol=0.0):
+            return a.astype(np.float32), b.astype(np.float32)
+    return None
+
+
+def _sep_row_vectors(sep, node_of_row: np.ndarray, total_rows: int):
+    """(sep_dst, sep_src_row) in concat-row order, zero-row entry = 0."""
+    if sep is None:
+        return None, None
+    a, b = sep
+    nor = np.asarray(node_of_row)[: total_rows + 1]
+    sd = a[nor].astype(np.float32)
+    ss = b[nor].astype(np.float32)
+    sd[total_rows] = 0.0
+    ss[total_rows] = 0.0
+    return jnp.asarray(sd), jnp.asarray(ss)
 
 
 def _cap_for_degree(deg: np.ndarray, minimum: int) -> np.ndarray:
@@ -155,12 +231,17 @@ def build_bucketed(
             if built is not None:
                 bks, gather_pos, node_of_row = built
                 total = sum(i.shape[0] for _, i, _, _ in bks)
+                sep = _detect_separable(rows, cols, vals, n_rows, n_cols)
+                sd, ss = _sep_row_vectors(sep, node_of_row, total)
                 return BucketedCSR(
                     buckets=tuple(
                         Bucket(
                             idx=jnp.asarray(i), val=jnp.asarray(v),
                             edge=jnp.asarray(eg), cap=c,
-                            ridx=_host_ridx(gather_pos, i, total, n_rows, n_cols),
+                            ridx=_host_ridx(
+                                gather_pos, i, total, n_rows, n_cols,
+                                dead=(eg < 0) | (v == 0) if vals is not None else (eg < 0),
+                            ),
                         )
                         for c, i, v, eg in bks
                     ),
@@ -168,6 +249,8 @@ def build_bucketed(
                     n_rows=n_rows,
                     n_cols=n_cols,
                     node_of_row=jnp.asarray(node_of_row),
+                    sep_dst=sd,
+                    sep_src_row=ss,
                 )
 
     rows = np.asarray(rows, dtype=np.int64)
@@ -220,12 +303,17 @@ def build_bucketed(
     gather_pos[~nonzero] = total_rows  # the appended zeros row
     node_of_row = np.zeros(total_rows + 1, dtype=np.int64)
     node_of_row[gather_pos] = np.arange(n_rows)
+    sep = _detect_separable(r, c, v, n_rows, n_cols)
+    sd, ss = _sep_row_vectors(sep, node_of_row, total_rows)
     return BucketedCSR(
         buckets=tuple(
             Bucket(
                 idx=jnp.asarray(idx), val=jnp.asarray(val),
                 edge=jnp.asarray(edge), cap=cap,
-                ridx=_host_ridx(gather_pos, idx, total_rows, n_rows, n_cols),
+                ridx=_host_ridx(
+                    gather_pos, idx, total_rows, n_rows, n_cols,
+                    dead=(edge < 0) | (val == 0) if v is not None else (edge < 0),
+                ),
             )
             for idx, val, edge, cap in buckets
         ),
@@ -233,6 +321,8 @@ def build_bucketed(
         n_rows=n_rows,
         n_cols=n_cols,
         node_of_row=jnp.asarray(node_of_row.astype(np.int32)),
+        sep_dst=sd,
+        sep_src_row=ss,
     )
 
 
@@ -449,12 +539,20 @@ def pull_rowspace(
 ) -> jnp.ndarray:
     """Row-space pull: input AND output live in concat-row order, so chained
     applications skip the per-layer ``concat[gather_pos]`` reorder (the
-    permuted-space propagation of DESIGN.md agenda #1). The node→row index
-    translation composes on the fly (``gather_pos[b.idx]`` — a 4 B/slot int
-    gather, ~1.5% of the row-gather traffic; no duplicate tables in HBM).
+    permuted-space propagation of DESIGN.md agenda #1).
 
-    Degree-0 source nodes cannot appear as real edges; padding slots carry
-    ``val == 0``, so clamping their translated index in-bounds is exact.
+    CONVENTION (round 4): ``xp`` is ``[total_rows + 1, d]`` with the LAST
+    ROW ZERO; the output has the same shape and invariant. Structurally-dead
+    slots (table padding + build-time zero-value edges) point at that zero
+    row via the prebuilt ``Bucket.ridx`` (the on-the-fly ``gather_pos``
+    translation is a per-slot scalar gather per layer — measured ~10 ns/slot
+    vs ~1.2 ns for the row gather itself).
+
+    When the build detected SEPARABLE values (``csr.sep_dst`` — every
+    degree-normalized adjacency), the per-slot value multiply is replaced by
+    two row scalings around a plain gather+sum: 6.3 -> 4.6 ms/pull at the
+    1M-edge shape (tools/probe_pull.py), because the multiply's operand
+    materialization is the single largest non-gather cost.
 
     ``compute_dtype='bfloat16'`` gathers bf16 PAIRS packed in f32 words
     (half the bytes per slot, still the fast f32 gather path), accumulating
@@ -463,20 +561,33 @@ def pull_rowspace(
     auto-disables where it measured slower (see ``_effective_packer``)."""
     d = xp.shape[1]
     packer = _effective_packer(compute_dtype, d)
-    xd = packer[0](xp) if packer else xp.astype(jnp.float32)
-    last = xp.shape[0] - 1
+    sep = csr.sep_dst is not None
+    xin = xp * csr.sep_src_row[:, None] if sep else xp
+    xd = packer[0](xin) if packer else xin.astype(jnp.float32)
     outs = []
     for b in csr.buckets:
-        # prebuilt row-space indices where available (Bucket.ridx); the
-        # on-the-fly translation is a per-slot scalar gather per layer
-        rows = b.ridx if b.ridx is not None else jnp.minimum(
-            csr.gather_pos[b.idx], last
-        )
+        rows = b.ridx if b.ridx is not None else csr.gather_pos[b.idx]
         g = xd[rows]  # [nb, cap, d or packed width]
         if packer:
             g = packer[1](g, d)
-        outs.append(jnp.sum(g * b.val[:, :, None], axis=1))
-    return jnp.concatenate(outs, axis=0)  # [total_rows, d]
+        if sep:
+            outs.append(jnp.sum(g, axis=1))
+        else:
+            outs.append(jnp.sum(g * b.val[:, :, None], axis=1))
+    zero = jnp.zeros((1, d), jnp.float32)
+    out = jnp.concatenate(outs + [zero], axis=0)  # [total_rows + 1, d]
+    if sep:
+        out = out * csr.sep_dst[:, None]  # zero-row scale is 0
+    return out
+
+
+def _gather_sum_rowspace(csr: BucketedCSR, y: jnp.ndarray) -> jnp.ndarray:
+    """Plain gather + sum under the row-space convention ([total_rows + 1]
+    in/out, last row zero — dead slots point there via ``Bucket.ridx``).
+    The separable chain applies its folded scalings around this."""
+    d = y.shape[1]
+    outs = [jnp.sum(y[b.ridx], axis=1) for b in csr.buckets]
+    return jnp.concatenate(outs + [jnp.zeros((1, d), jnp.float32)], axis=0)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1))
@@ -496,16 +607,35 @@ def bucketed_chain_mean(
     REQUIRES the pattern to be symmetric in its bucket layout (``fwd`` and
     ``bwd`` share ``gather_pos``) so forward and backward chains live in the
     same row space — from_scipy asserts this before enabling the path.
-    Like ``bucketed_matmul``, values get zero cotangents."""
+    Like ``bucketed_matmul``, values get zero cotangents.
+
+    SEPARABLE regime: with x_l = a ⊙ G(b ⊙ x_{l-1}) (G = plain gather+sum),
+    substituting y_l = b ⊙ x_l folds both scalings into ONE ab-product per
+    layer — y_l = (a⊙b) ⊙ G(y_{l-1}), unscaled once at the end — saving a
+    full [total_rows, d] read+write pass per pull (tools/probe_chain.py)."""
     rows = fwd.node_of_row[: fwd.total_rows]
-    xp = x[rows].astype(jnp.float32)
-    acc = jnp.zeros_like(xp)
-    cur = xp
-    for _ in range(n_layers):
-        cur = pull_rowspace(fwd, cur, compute_dtype)
-        acc = acc + cur
-    zero = jnp.zeros((1, x.shape[1]), acc.dtype)
-    restored = jnp.concatenate([acc, zero], axis=0)[fwd.gather_pos]
+    zero = jnp.zeros((1, x.shape[1]), jnp.float32)
+    xp = jnp.concatenate([x[rows].astype(jnp.float32), zero], axis=0)
+    if fwd.sep_dst is not None and _effective_packer(compute_dtype, x.shape[1]) is None:
+        ab = (fwd.sep_dst * fwd.sep_src_row)[:, None]
+        # every concat row has degree >= 1 so its source scale is > 0; the
+        # zero row's scale is 0 by construction -> keep its inverse at 0
+        inv_b = jnp.where(fwd.sep_src_row > 0, 1.0 / fwd.sep_src_row, 0.0)[:, None]
+        y = xp * fwd.sep_src_row[:, None]
+        acc_y = jnp.zeros_like(y)
+        for _ in range(n_layers):
+            y = _gather_sum_rowspace(fwd, y) * ab
+            acc_y = acc_y + y
+        acc = acc_y * inv_b
+    else:
+        acc = jnp.zeros_like(xp)
+        cur = xp
+        for _ in range(n_layers):
+            cur = pull_rowspace(fwd, cur, compute_dtype)
+            acc = acc + cur
+    # gather_pos sends degree-0 nodes to index total_rows — the zero row the
+    # row-space convention already carries
+    restored = acc[fwd.gather_pos]
     return (x + restored) / (n_layers + 1.0)
 
 
@@ -516,13 +646,25 @@ def _chain_fwd(n_layers, compute_dtype, fwd, bwd, x):
 def _chain_bwd(n_layers, compute_dtype, res, g):
     fwd, bwd = res
     rows = fwd.node_of_row[: fwd.total_rows]
-    gp = g[rows].astype(jnp.float32)
+    zero = jnp.zeros((1, g.shape[1]), jnp.float32)
+    gp = jnp.concatenate([g[rows].astype(jnp.float32), zero], axis=0)
     # Horner: Σ_{l=1..L} (Aᵀ)^l gp  ==  Aᵀ(gp + Aᵀ(gp + ...))
-    s = jnp.zeros_like(gp)
-    for _ in range(n_layers):
-        s = pull_rowspace(bwd, s + gp, _bwd_dtype(compute_dtype))
-    zero = jnp.zeros((1, g.shape[1]), s.dtype)
-    restored = jnp.concatenate([s, zero], axis=0)[fwd.gather_pos]
+    if bwd.sep_dst is not None and _effective_packer(
+        _bwd_dtype(compute_dtype), g.shape[1]
+    ) is None:
+        # folded-scale form (see bucketed_chain_mean): z = b' ⊙ s
+        ab = (bwd.sep_dst * bwd.sep_src_row)[:, None]
+        inv_b = jnp.where(bwd.sep_src_row > 0, 1.0 / bwd.sep_src_row, 0.0)[:, None]
+        gp_b = gp * bwd.sep_src_row[:, None]
+        z = jnp.zeros_like(gp)
+        for _ in range(n_layers):
+            z = _gather_sum_rowspace(bwd, z + gp_b) * ab
+        s = z * inv_b
+    else:
+        s = jnp.zeros_like(gp)
+        for _ in range(n_layers):
+            s = pull_rowspace(bwd, s + gp, _bwd_dtype(compute_dtype))
+    restored = s[fwd.gather_pos]
     dx = ((g + restored) / (n_layers + 1.0)).astype(g.dtype)
     return (_float0_zeros(fwd), _float0_zeros(bwd), dx)
 

@@ -23,7 +23,9 @@ from recommendation_tpu.ops.spmm import adj_matmul
 from recommendation_tpu.sampling import PairwiseBatch, sample_negatives, sample_pointwise
 
 
-def _use_prop_kernel(n_users: int, n_items: int, d: int, r_itemsize: int = 2) -> bool:
+def _use_prop_kernel(
+    n_users: int, n_items: int, d: int, r_itemsize: int = 2, extra_tables: int = 0
+) -> bool:
     """Gate for the fused Pallas propagation kernel: TPU platform (Mosaic
     compile; CPU keeps the XLA chain — interpret mode is test-only), shapes
     within the VMEM budget, not disabled via RECTPU_PROP_KERNEL=off."""
@@ -35,7 +37,7 @@ def _use_prop_kernel(n_users: int, n_items: int, d: int, r_itemsize: int = 2) ->
         return False
     from recommendation_tpu.ops.pallas_prop import chain_supported
 
-    return chain_supported(n_users, n_items, d, r_itemsize)
+    return chain_supported(n_users, n_items, d, r_itemsize, extra_tables)
 
 
 def lightgcn_propagate(

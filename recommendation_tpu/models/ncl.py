@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from recommendation_tpu.graph.device import DeviceGraph
 from recommendation_tpu.losses import bpr_loss, info_nce, l2_reg_loss
 from recommendation_tpu.models.base import Model
-from recommendation_tpu.models.lightgcn import lightgcn_propagate
+from recommendation_tpu.models.lightgcn import _use_prop_kernel, lightgcn_propagate
 from recommendation_tpu.models.registry import register
 from recommendation_tpu.ops.kmeans import kmeans, kmeans_minibatch
 from recommendation_tpu.sampling import PairwiseBatch
@@ -104,6 +104,41 @@ class NCL(Model):
             bipartite_dense=getattr(graph, "interaction_norm_dense", None),
         )
 
+    def _forward_ctx(self, params, graph: DeviceGraph):
+        """(user_all, item_all, initial, context) — what ``loss`` actually
+        consumes. On TPU in the dense bipartite regime this routes through
+        the fused mean+layer Pallas kernel (`ops/pallas_prop.py::
+        dense_chain_mean_layer`), which returns the mean readout and layer
+        ``2*hyper_layers`` without materializing the [L+1, N, d] stack;
+        elsewhere it falls back to the XLA return_layers path. Both paths
+        compute the same values (tests/test_pallas_prop.py)."""
+        ctx_idx = min(self.hyper_layers * 2, self.n_layers)
+        r = getattr(graph, "interaction_norm_dense", None)
+        bf16 = graph.norm_adj.compute_dtype == "bfloat16"
+        if (
+            r is not None
+            and ctx_idx >= 1
+            and _use_prop_kernel(
+                graph.n_users, graph.n_items, self.emb_size,
+                r_itemsize=2 if bf16 else 4, extra_tables=2,
+            )
+        ):
+            from recommendation_tpu.ops.pallas_prop import dense_chain_mean_layer
+
+            if bf16:
+                r = r.astype(jnp.bfloat16)
+            au, ai, uk, ik = dense_chain_mean_layer(
+                r, params["user_emb"], params["item_emb"], self.n_layers, ctx_idx
+            )
+            initial = jnp.concatenate(
+                [params["user_emb"], params["item_emb"]], axis=0
+            )
+            return au, ai, initial, jnp.concatenate([uk, ik], axis=0)
+        user_all, item_all, layers = self._forward_layers(params, graph)
+        full_idx = self.hyper_layers * 2
+        context = layers[-1] if full_idx >= len(layers) else layers[full_idx]
+        return user_all, item_all, layers[0], context
+
     def epoch_begin(self, params, state, graph: DeviceGraph, rng, epoch: int):
         """E-step: k-means over current mean embeddings (`ncl.py:340-356`),
         every ``NCL.e_step_cadence`` epochs (always at epoch 0). In
@@ -151,12 +186,9 @@ class NCL(Model):
         return self.proto_reg * (loss_u + loss_i)
 
     def loss(self, params, state, batch: PairwiseBatch, graph: DeviceGraph, rng):
-        user_all, item_all, layers = self._forward_layers(params, graph)
+        user_all, item_all, initial, context = self._forward_ctx(params, graph)
         users, pos, neg = batch.users, batch.pos_items, batch.neg_items
         rec = bpr_loss(take_rows(user_all, users), take_rows(item_all, pos), take_rows(item_all, neg))
-        initial = layers[0]
-        ctx_idx = self.hyper_layers * 2
-        context = layers[-1] if ctx_idx >= len(layers) else layers[ctx_idx]
         ssl = self._ssl_layer_loss(context, initial, users, pos, graph.n_users)
         if self.e_step_per_batch:
             # faithful per-batch E-step (`ncl.py:324`): re-cluster the

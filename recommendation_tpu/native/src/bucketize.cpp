@@ -24,7 +24,7 @@
 
 namespace {
 
-constexpr int kCapStep = 4;        // == bucketed.py CAP_STEP
+constexpr int kCapStep = 8;        // == bucketed.py CAP_STEP
 constexpr int kCapPow2Above = 128; // == bucketed.py CAP_POW2_ABOVE
 
 int64_t cap_for_degree(int64_t deg, int64_t min_cap) {

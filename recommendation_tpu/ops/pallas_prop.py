@@ -47,15 +47,19 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def chain_supported(n_users: int, n_items: int, d: int, r_itemsize: int = 2) -> bool:
+def chain_supported(
+    n_users: int, n_items: int, d: int, r_itemsize: int = 2, extra_tables: int = 0
+) -> bool:
     """True when the fused kernel's working set fits the VMEM budget.
 
     ``r_itemsize`` is R̂'s bytes/element (2 for the bf16 compute regime,
     4 for the f32 one — the f32 kernel keeps full precision on the MXU and
-    halves the supported shape envelope accordingly)."""
+    halves the supported shape envelope accordingly). ``extra_tables``
+    charges additional live [N, d]-class buffers (the mean+layer variant
+    carries 2 more outputs than the mean-only kernel)."""
     up, ip, dp = _round_up(n_users, 16), _round_up(n_items, 128), _round_up(d, 128)
     r_bytes = up * ip * r_itemsize
-    tables = 3 * (up + ip) * dp * 4
+    tables = (3 + extra_tables) * (up + ip) * dp * 4
     return r_bytes + tables <= _VMEM_BUDGET and d <= 256
 
 
@@ -186,3 +190,143 @@ def _chain_bwd(n_layers, interpret, r_bf16, g):
 
 
 dense_chain_mean.defvjp(_chain_fwd, _chain_bwd)
+
+
+# ---------------------------------------------------------------------------
+# mean + single-layer variant (NCL's layer-contrast path, `ncl.py:358-367`:
+# the SSL term contrasts layer 0 against layer 2*hyper_layers while the BPR
+# term uses the mean readout — this kernel returns both without
+# materializing the full [L+1, N, d] stack the XLA return_layers path needs)
+# ---------------------------------------------------------------------------
+
+
+def _chain_layer_fwd_kernel(
+    n_layers, k, r_ref, u_ref, i_ref, au_ref, ai_ref, uk_ref, ik_ref
+):
+    """Forward chain with the mean accumulated into (au, ai) and layer ``k``
+    snapshotted into (uk, ik). Requires 1 <= k <= n_layers (k = 0 is the
+    input itself — handled by the wrapper without a kernel round trip)."""
+    r = r_ref[:]
+    cast = (lambda x: x.astype(jnp.bfloat16)) if r.dtype == jnp.bfloat16 else (lambda x: x)
+
+    def mm(a, b):
+        return jnp.dot(a, cast(b), preferred_element_type=jnp.float32)
+
+    def mmt(a, b):
+        return jax.lax.dot_general(
+            a, cast(b),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    u = u_ref[:]
+    i = i_ref[:]
+    au_ref[:] = u
+    ai_ref[:] = i
+    for layer in range(1, n_layers + 1):
+        nu = mm(r, i)
+        i = mmt(r, u)
+        u = nu
+        au_ref[:] += u
+        ai_ref[:] += i
+        if layer == k:
+            uk_ref[:] = u
+            ik_ref[:] = i
+    inv = 1.0 / (n_layers + 1.0)
+    au_ref[:] *= inv
+    ai_ref[:] *= inv
+
+
+def _chain_layer_bwd_kernel(
+    n_layers, k, r_ref, gu_ref, gi_ref, gku_ref, gki_ref, du_ref, di_ref
+):
+    """Cotangent chain: t_j = gmean' everywhere plus the layer-k cotangent
+    injected at j == k; du0 = t_0 + Â(t_1 + Â(t_2 + ...)) in the bipartite
+    block form (gmean' pre-scaled by 1/(L+1) in the wrapper)."""
+    r = r_ref[:]
+    cast = (lambda x: x.astype(jnp.bfloat16)) if r.dtype == jnp.bfloat16 else (lambda x: x)
+
+    def mm(a, b):
+        return jnp.dot(a, cast(b), preferred_element_type=jnp.float32)
+
+    def mmt(a, b):
+        return jax.lax.dot_general(
+            a, cast(b),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    au = gu_ref[:]
+    ai = gi_ref[:]
+    if k == n_layers:
+        au += gku_ref[:]
+        ai += gki_ref[:]
+    for j in range(n_layers - 1, -1, -1):
+        nau = gu_ref[:] + mm(r, ai)
+        ai = gi_ref[:] + mmt(r, au)
+        au = nau
+        if j == k:
+            au += gku_ref[:]
+            ai += gki_ref[:]
+    du_ref[:] = au
+    di_ref[:] = ai
+
+
+def _chain_layer_call(r_pad, a, b, c, d_in, n_layers, k, forward, interpret):
+    up, ip = r_pad.shape
+    d = a.shape[1]
+    if forward:
+        kernel = functools.partial(_chain_layer_fwd_kernel, n_layers, k)
+        n_in, n_out = 2, 4
+        ins = (a, b)
+    else:
+        kernel = functools.partial(_chain_layer_bwd_kernel, n_layers, k)
+        n_in, n_out = 4, 2
+        ins = (a, b, c, d_in)
+    outs = [
+        jax.ShapeDtypeStruct((up, d), jnp.float32),
+        jax.ShapeDtypeStruct((ip, d), jnp.float32),
+    ] * (n_out // 2)
+    return pl.pallas_call(
+        kernel,
+        out_shape=tuple(outs),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (1 + n_in),
+        out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * n_out),
+        interpret=interpret,
+    )(r_pad, *ins)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def dense_chain_mean_layer(r_any, u0, i0, n_layers: int, k: int, interpret: bool = False):
+    """(mean_u, mean_i, u_k, i_k): the layer-mean readout PLUS the layer-``k``
+    tables, whole chain VMEM-resident (forward and the injected-cotangent
+    Horner backward each one kernel launch). 1 <= k <= n_layers; gradients
+    flow to u0/i0 from all four outputs."""
+    return _chain_layer_fwd(r_any, u0, i0, n_layers, k, interpret)[0]
+
+
+def _chain_layer_fwd(r_any, u0, i0, n_layers, k, interpret):
+    r_pad, u_pad, i_pad, (u_n, i_n, d) = _pad_inputs(r_any, u0, i0)
+    au, ai, uk, ik = _chain_layer_call(
+        r_pad, u_pad, i_pad, None, None, n_layers, k, True, interpret
+    )
+    out = (au[:u_n, :d], ai[:i_n, :d], uk[:u_n, :d], ik[:i_n, :d])
+    return out, r_any
+
+
+def _chain_layer_bwd(n_layers, k, interpret, r_any, g):
+    gau, gai, gku, gki = g
+    inv = 1.0 / (n_layers + 1.0)
+    r_pad, gu_pad, gi_pad, (u_n, i_n, d) = _pad_inputs(r_any, gau * inv, gai * inv)
+    _, gku_pad, gki_pad, _ = _pad_inputs(r_any, gku, gki)
+    du, di = _chain_layer_call(
+        r_pad, gu_pad, gi_pad, gku_pad, gki_pad, n_layers, k, False, interpret
+    )
+    return (
+        jnp.zeros_like(r_any),
+        du[:u_n, :d].astype(gau.dtype),
+        di[:i_n, :d].astype(gai.dtype),
+    )
+
+
+dense_chain_mean_layer.defvjp(_chain_layer_fwd, _chain_layer_bwd)

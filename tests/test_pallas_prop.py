@@ -124,3 +124,49 @@ def test_chain_f32_budget_gate():
     assert chain_supported(943, 1682, 64, r_itemsize=4)
     assert chain_supported(1200, 2048, 64, r_itemsize=2)
     assert not chain_supported(1200, 2048, 64, r_itemsize=4)
+
+
+@pytest.mark.parametrize("n_layers,k", [(3, 1), (3, 2), (3, 3), (1, 1)])
+def test_chain_mean_layer_matches_xla(n_layers, k):
+    """mean+layer variant (NCL's layer-contrast path): all four outputs and
+    the gradients through ALL of them — including the injected layer-k
+    cotangent — must match the XLA return_layers chain. f32, tight tol."""
+    from recommendation_tpu.ops.pallas_prop import dense_chain_mean_layer
+
+    rng = np.random.default_rng(2)
+    n_u, n_i, d = 37, 53, 8
+    r = jnp.asarray(rng.normal(size=(n_u, n_i)).astype(np.float32) * 0.1)
+    u0 = jnp.asarray(rng.normal(size=(n_u, d)).astype(np.float32))
+    i0 = jnp.asarray(rng.normal(size=(n_i, d)).astype(np.float32))
+
+    def mm(a, b):
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+    def xla(a, b):
+        u, i = a, b
+        acc_u, acc_i = u, i
+        uk, ik = u, i
+        for layer in range(1, n_layers + 1):
+            u, i = mm(r, i), mm(r.T, u)
+            acc_u, acc_i = acc_u + u, acc_i + i
+            if layer == k:
+                uk, ik = u, i
+        inv = 1.0 / (n_layers + 1.0)
+        return acc_u * inv, acc_i * inv, uk, ik
+
+    want = xla(u0, i0)
+    got = dense_chain_mean_layer(r, u0, i0, n_layers, k, True)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, rtol=1e-5, atol=1e-6)
+
+    def scalarize(outs):
+        au, ai, uk, ik = outs
+        # distinct nonlinearities per output so each cotangent is distinct
+        return (jnp.sum(au ** 2) + jnp.sum(jnp.sin(ai))
+                + jnp.sum(jnp.cos(uk)) + jnp.sum(uk * ik[: uk.shape[0]] if uk.shape == ik.shape else jnp.tanh(ik)))
+
+    g_ker = jax.grad(lambda a, b: scalarize(
+        dense_chain_mean_layer(r, a, b, n_layers, k, True)), argnums=(0, 1))(u0, i0)
+    g_ref = jax.grad(lambda a, b: scalarize(xla(a, b)), argnums=(0, 1))(u0, i0)
+    for g, w in zip(g_ker, g_ref):
+        np.testing.assert_allclose(g, w, rtol=1e-5, atol=1e-6)

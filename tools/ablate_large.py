@@ -23,6 +23,7 @@ Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/ablate_large.py
 
 from __future__ import annotations
 
+import functools
 import time
 
 import jax
@@ -90,7 +91,7 @@ def main():
     graph, model, params, state, optimizer, opt_state = build(dtype)
     print(f"# backend={graph.norm_adj.backend} compute_dtype={dtype}", flush=True)
 
-    @jax.jit
+    @functools.partial(jax.jit, static_argnums=(1,))
     def make_xs(rng, n_steps):
         us, its, ws, nb = shuffled_epoch(rng, graph, BATCH)
         reps = -(-n_steps // nb)
