@@ -386,10 +386,21 @@ class DeviceGraph:
         # measured 21.7 us/step — 2/3 of the whole sampling budget — while a
         # fused row gather is ~1 us/step (tools/probe_sampler.py, round 4).
         if self.has_pos_bitmap:
-            self.user_bitmap_fb = jnp.concatenate(
-                [self.user_pos_bitmap, self.user_fallback_neg.astype(jnp.int32)],
+            fb = np.concatenate(
+                [
+                    np.asarray(self.user_pos_bitmap),
+                    np.asarray(self.user_fallback_neg, dtype=np.int32),
+                ],
                 axis=1,
             )
+            # pad the row to a multiple of 64 f32 words: rows narrower than
+            # 64 words gather on a ~2x slower TPU path (round-3 probe A —
+            # the same cliff that gates bf16 packing in graph/bucketed.py)
+            wtot = fb.shape[1]
+            pad = (-wtot) % 64
+            if pad and self.n_users * (wtot + pad) <= POS_TABLE_MAX_ELEMENTS:
+                fb = np.pad(fb, ((0, 0), (0, pad)))
+            self.user_bitmap_fb = jnp.asarray(fb)
         else:
             self.user_bitmap_fb = jnp.zeros((1, 1), jnp.int32)
 

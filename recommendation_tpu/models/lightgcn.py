@@ -26,12 +26,20 @@ from recommendation_tpu.sampling import PairwiseBatch, sample_negatives, sample_
 def _use_prop_kernel(
     n_users: int, n_items: int, d: int, r_itemsize: int = 2, extra_tables: int = 0
 ) -> bool:
-    """Gate for the fused Pallas propagation kernel: TPU platform (Mosaic
-    compile; CPU keeps the XLA chain — interpret mode is test-only), shapes
-    within the VMEM budget, not disabled via RECTPU_PROP_KERNEL=off."""
+    """Gate for the fused Pallas propagation kernel — OPT-IN via
+    RECTPU_PROP_KERNEL=on (TPU platform only; CPU keeps the XLA chain —
+    interpret mode is test-only; shapes must fit the VMEM budget).
+
+    Default OFF since round 4: with the epoch machinery gone, the XLA
+    chain beats the monolithic kernel end-to-end on the headline bench
+    (24.0M vs 19.4M ex/s, A/B'd both orders, BASELINE.md round-4) — XLA
+    overlaps the chain's dots with the step's other work (one-hot grads,
+    loss) while a pallas_call is an opaque scheduling unit. The kernel
+    remains correct, tested, and reachable for propagation-dominated
+    workloads where R̂ re-read traffic is the binding constraint."""
     import os
 
-    if os.environ.get("RECTPU_PROP_KERNEL", "auto") == "off":
+    if os.environ.get("RECTPU_PROP_KERNEL", "off") != "on":
         return False
     if jax.default_backend() == "cpu":
         return False

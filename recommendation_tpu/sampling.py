@@ -252,8 +252,8 @@ def sample_negatives_epoch(
     all_bits = jax.random.bits(rng, (k + 1, n), jnp.uint32)
     draws = bits_to_ints(all_bits[:k], graph.n_items)  # [k, N]
     fb_col = bits_to_ints(all_bits[k], n_fb)  # [N]
-    rows = graph.user_bitmap_fb[uflat]  # [N, W + n_fb] — the one gather
-    bmp, fb_rows = rows[:, :w], rows[:, w:]
+    rows = graph.user_bitmap_fb[uflat]  # [N, W + n_fb (+pad to 64)] — the one gather
+    bmp, fb_rows = rows[:, :w], rows[:, w:w + n_fb]
     dw = draws >> 5  # [k, N]
     iw = jnp.arange(w, dtype=dw.dtype)
     sel = iw[None, None, :] == dw[:, :, None]  # [k, N, W]

@@ -73,7 +73,7 @@ def scalar2(key):
 
 timed(scalar2, "scalar2")
 
-for w in (2, 4, 8):
+for w in (2, 16, 32, 64):
     cols = [users, items] + [jnp.zeros((E,), jnp.int32)] * (w - 2)
     table = jax.block_until_ready(jnp.stack(cols, axis=1))
 
