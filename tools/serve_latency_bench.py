@@ -35,6 +35,7 @@ def main():
     data = Interaction(train, test)
     config = default_config(**{"max.epoch": 3, "eval.interval": 10})
     rec = GraphRecommender(get_model("lightgcn", config), data, config, log=Log(echo=False))
+    rec.build()
     rec.train()
     svc = RecommenderService.from_recommender(rec)
     svc.enable_batching(max_batch=1024, max_wait_ms=2.0)
