@@ -103,16 +103,32 @@ def bench_tpu(data, epochs: int, compute_dtype: str = "float32", batch: int = BA
         state_sl[label] = (p, o, s)
     # INTERLEAVED repeats: tunnel latency drifts on multi-second scales, so
     # measuring all-short-then-all-long lets the drift masquerade as
-    # per-epoch time; alternating keeps both sides in the same regime
-    for _ in range(6):
-        for label, run in (("s", run_s), ("l", run_l)):
-            p, o, s = state_sl[label]
-            t0 = time.perf_counter()
-            p, o, s, loss = run(graph, p, o, s, jax.random.PRNGKey(2))
-            float(loss[-1])
-            times[label].append(time.perf_counter() - t0)
-            state_sl[label] = (p, o, s)
-    dt = min(times["l"]) - min(times["s"])
+    # per-epoch time; alternating keeps both sides in the same regime.
+    # The paired delta must stay positive — under pathological jitter (or an
+    # epochs <= e_short misconfiguration) min(long) - min(short) could go
+    # <= 0 and the driver's JSON line would carry a negative/inf throughput;
+    # retry with more interleaved rounds, then fail loudly (ADVICE r4).
+    assert epochs > e_short, f"paired protocol needs epochs > {e_short}"
+    dt = 0.0
+    for _attempt in range(3):
+        for _ in range(6):
+            for label, run in (("s", run_s), ("l", run_l)):
+                p, o, s = state_sl[label]
+                t0 = time.perf_counter()
+                p, o, s, loss = run(graph, p, o, s, jax.random.PRNGKey(2))
+                float(loss[-1])
+                times[label].append(time.perf_counter() - t0)
+                state_sl[label] = (p, o, s)
+        dt = min(times["l"]) - min(times["s"])
+        if dt > 0:
+            break
+        print(f"# paired delta non-positive ({dt * 1e3:.1f} ms), retrying",
+              file=sys.stderr)
+    if dt <= 0:
+        raise RuntimeError(
+            f"paired scan-length delta stayed non-positive ({dt:.4f}s) after "
+            "retries — tunnel jitter swamped the measurement window"
+        )
     examples = (epochs - e_short) * n_batches * BATCH
     return examples / dt
 

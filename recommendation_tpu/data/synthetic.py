@@ -214,6 +214,21 @@ class ArrayInteraction:
     def training_size(self):
         return self.user_num, self.item_num, len(self.edge_users)
 
+    # -- test accessors (vectorized; the Interaction contract evaluate_ranking
+    # and ranking_metrics consume — `data/interaction.py:217-231`) ----------
+
+    def test_user_ids(self) -> "np.ndarray":
+        return np.unique(self.test_pairs[:, 0]).astype(np.int32)
+
+    def test_items_by_user(self):
+        """List of per-user test-item arrays aligned with test_user_ids()
+        (ascending user id), O(T log T) numpy — no per-user Python loop."""
+        tp = self.test_pairs
+        order = np.lexsort((tp[:, 1], tp[:, 0]))
+        sorted_pairs = tp[order]
+        _, starts = np.unique(sorted_pairs[:, 0], return_index=True)
+        return np.split(sorted_pairs[:, 1].astype(np.int32), starts[1:])
+
 
 def write_dataset(path: str, train: List[list], test: List[list]) -> None:
     """Write reference-format ``train.txt``/``test.txt`` triples."""

@@ -399,14 +399,40 @@ def slot_maps(csr: BucketedCSR, n_rows: int):
     )
 
 
+def _check_no_resurrection(bad_count: np.ndarray) -> None:
+    if int(bad_count) > 0:
+        raise RuntimeError(
+            f"refresh_vals: {int(bad_count)} build-time-zero edge slot(s) "
+            "refreshed to a NONZERO value. The prebuilt Bucket.ridx routes "
+            "such slots to the shared zero row permanently, so the row-space "
+            "chain would silently drop these edges (contract in _host_ridx). "
+            "Rebuild the structure instead of refreshing values that "
+            "resurrect dead edges."
+        )
+
+
 def refresh_vals(csr: BucketedCSR, coo_vals: jnp.ndarray) -> BucketedCSR:
     """New BucketedCSR with values re-gathered from a (device) COO values
-    vector — the augmentation path. Index structure untouched."""
+    vector — the augmentation path. Index structure untouched.
+
+    Contract (ADVICE r4): refreshed values must never RESURRECT a build-time
+    zero edge — ``Bucket.ridx`` routed those slots to the shared zero row at
+    build, so the row-space chain path would silently drop them. Every
+    augmentation in the codebase multiplies by a mask (preserves zeros);
+    set ``RECTPU_DEBUG_CHECKS=1`` to verify at runtime (host callback —
+    test/debug only, adds a sync per refresh)."""
+    import os
+
     n = coo_vals.shape[0]
+    debug_check = bool(os.environ.get("RECTPU_DEBUG_CHECKS"))
 
     def refill(b: Bucket) -> Bucket:
         safe = jnp.clip(b.edge, 0, n - 1)
         val = jnp.where(b.edge >= 0, coo_vals[safe], 0.0)
+        if debug_check and b.ridx is not None:
+            total = sum(int(bb.idx.shape[0]) for bb in csr.buckets)
+            resurrected = (b.edge >= 0) & (b.ridx == total) & (val != 0)
+            jax.debug.callback(_check_no_resurrection, jnp.sum(resurrected))
         return Bucket(idx=b.idx, val=val, edge=b.edge, cap=b.cap, ridx=b.ridx)
 
     return BucketedCSR(

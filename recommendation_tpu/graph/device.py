@@ -474,10 +474,23 @@ class DeviceGraph:
             from recommendation_tpu.graph.bucketed import slot_maps
 
             pos_map, slot_node, node_of_row = slot_maps(self.norm_adj.pull, self.n_nodes)
+            # Per-transpose-bucket FORWARD-slot positions, prebuilt on host
+            # (round 5): the backward previously computed them per step as
+            # pos_map[bt.edge] — a per-slot narrow gather (~10 ns/slot class)
+            # over a quantity that is fully static. Dead slots point at 0;
+            # every consumer masks them via _real_slots.
+            pm = np.asarray(pos_map)
+            tpos = tuple(
+                jnp.asarray(
+                    pm[np.maximum(np.asarray(bt.edge), 0)].astype(np.int32)
+                )
+                for bt in self.norm_adj.pull_t.buckets
+            )
             self.gat_aux = {
                 "pos_map": pos_map,
                 "slot_node": slot_node,
                 "node_of_row": node_of_row,
+                "tpos": tpos,
             }
         return self.gat_aux
 

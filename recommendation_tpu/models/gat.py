@@ -171,16 +171,26 @@ def _attention_pull_bwd(neg_slope, drop_scale, res, g):
     dalpha_dst = jnp.concatenate(dadst_rows + [zero_h], axis=0)[csr.gather_pos]
 
     # ---- transpose-layout pass: everything arrives by edge-id gather ------
-    pos_map, slot_node = aux["pos_map"], aux["slot_node"]
+    # Round-5 narrow-gather cuts (the per-pull ablation behind the 2.77x
+    # fwd+bwd ratio, tools/probe_gat_pulls.py): (a) the forward-slot position
+    # of each transpose slot is STATIC — prebuilt on host (aux['tpos']) so the
+    # per-step pos_map[bt.edge] per-slot gather disappears; (b) attd and dz
+    # ride ONE fused [S, 2H] row gather instead of two [S, H] gathers;
+    # (c) g[slot_node[p]] == g[bt.idx] by the definition of a transpose (a
+    # transpose slot's source node IS its edge's forward destination), which
+    # drops the slot_node double indirection and makes the row gather direct.
+    pos_map = aux["pos_map"]
+    tpos = aux.get("tpos")
+    both_flat = jnp.concatenate([attd_flat, dz_flat], axis=1)  # [S, 2H]
     dh_rows, dasrc_rows = [], []
-    for bt in csr_t.buckets:
+    for i, bt in enumerate(csr_t.buckets):
         validt = _real_slots(bt)[:, :, None]
-        p = pos_map[jnp.maximum(bt.edge, 0)]  # [nbt, capt] forward slot ids
-        av = jnp.where(validt, attd_flat[p], 0.0)  # [nbt, capt, H]
-        gsl = g[slot_node[p]]  # [nbt, capt, H, d] — cotangent of each edge's dst
+        p = tpos[i] if tpos is not None else pos_map[jnp.maximum(bt.edge, 0)]
+        bp = jnp.where(validt, both_flat[p], 0.0)  # [nbt, capt, 2H]
+        av = bp[..., :heads]
+        gsl = g[bt.idx]  # [nbt, capt, H, d] — cotangent of each edge's dst
         dh_rows.append(jnp.einsum("nch,nchd->nhd", av, gsl))
-        dzv = jnp.where(validt, dz_flat[p], 0.0)
-        dasrc_rows.append(jnp.sum(dzv, axis=1))
+        dasrc_rows.append(jnp.sum(bp[..., heads:], axis=1))
     zero_hd = jnp.zeros((1, heads, d), dz_flat.dtype)
     dh = jnp.concatenate(dh_rows + [zero_hd], axis=0)[csr_t.gather_pos]
     dalpha_src = jnp.concatenate(dasrc_rows + [zero_h], axis=0)[csr_t.gather_pos]

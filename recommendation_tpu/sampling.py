@@ -313,7 +313,18 @@ def shuffled_epoch(
     e = graph.n_edges
     n_batches = max(1, -(-e // batch_size))
     total = n_batches * batch_size
-    perm = keyed_permutation(rng, e)
+    # Permutation family knob (ADVICE r4 / DESIGN.md deviation policy):
+    # default is the sort-free 64-round swap-or-not shuffle (exact bijection,
+    # weaker mixing than a full sort-derived permutation — adequate for SGD
+    # epoch order, ~35 -> ~6 us/step on the headline bench). Set
+    # RECTPU_SHUFFLE=sort to restore jax.random.permutation (exact uniform)
+    # for any consumer that needs the stronger family.
+    import os
+
+    if os.environ.get("RECTPU_SHUFFLE", "swapornot") == "sort":
+        perm = jax.random.permutation(rng, e).astype(jnp.int32)
+    else:
+        perm = keyed_permutation(rng, e)
     if total > e:
         # tile enough copies for any batch_size > e (a single cyclic slice
         # cannot supply more than e extra indices)

@@ -243,6 +243,11 @@ def make_multi_epoch_fn(
     # step keys. 64M elements ≈ 1 GB total — far below HBM but far above
     # any fused-epoch window the trainer or bench actually uses.
     HOIST_ALL_MAX_ELEMENTS = 64 * 1024 * 1024
+    # vmapping epoch_arrays also batches the sampler's membership row gather
+    # ([E·nb·B, row_words] i32); if XLA materializes it before the word-
+    # select reduce that intermediate dwarfs the batch arrays on wide-bitmap
+    # graphs (ADVICE r4). Gate the hoist on its size too: 512M words = 2 GB.
+    HOIST_ALL_MAX_GATHER_WORDS = 512 * 1024 * 1024
 
     def run(graph: DeviceGraph, params, opt_state, state, rng):
         def epoch_arrays(epoch_rng):
@@ -304,7 +309,17 @@ def make_multi_epoch_fn(
             epoch_rngs = jax.random.split(rng, n_epochs)
 
         n_batches = max(1, -(-graph.n_edges // batch_size))
-        if n_epochs * n_batches * batch_size <= HOIST_ALL_MAX_ELEMENTS:
+        if getattr(graph, "has_pos_bitmap", False):
+            row_words = graph.user_bitmap_fb.shape[1]
+        elif getattr(graph, "has_pos_table", True) and hasattr(graph, "user_positives"):
+            row_words = graph.user_positives.shape[1]
+        else:
+            row_words = 1
+        n_examples = n_epochs * n_batches * batch_size
+        if (
+            n_examples <= HOIST_ALL_MAX_ELEMENTS
+            and n_examples * row_words <= HOIST_ALL_MAX_GATHER_WORDS
+        ):
             # hoist EVERY epoch's shuffle + negatives out of the epoch scan:
             # the E permutation sorts collapse into one batched sort and the
             # E×nb threefry blocks into a handful of big vectorized calls —

@@ -92,3 +92,42 @@ def test_ncl_e_step_cadence(tiny_data, tiny_graph):
     assert s1 is s0  # skipped (epoch 1 % 3 != 0)
     s3 = model.epoch_begin(params, s1, tiny_graph, jax.random.PRNGKey(3), 3)
     assert s3 is not s1  # re-clustered
+
+
+def test_shuffle_family_knob(tiny_graph, monkeypatch):
+    """RECTPU_SHUFFLE=sort restores jax.random.permutation (ADVICE r4)."""
+    key = jax.random.PRNGKey(3)
+    u_swap, i_swap, _, _ = jax.jit(
+        lambda k: shuffled_epoch(k, tiny_graph, 8)
+    )(key)
+    monkeypatch.setenv("RECTPU_SHUFFLE", "sort")
+    u_sort, i_sort, _, nb = jax.jit(
+        lambda k: shuffled_epoch(k, tiny_graph, 8)
+    )(key)
+    # both are permutations of the same edge multiset...
+    swap_pairs = sorted(zip(np.asarray(u_swap).ravel(), np.asarray(i_swap).ravel()))
+    sort_pairs = sorted(zip(np.asarray(u_sort).ravel(), np.asarray(i_sort).ravel()))
+    assert swap_pairs == sort_pairs
+    # ...drawn from different families (orders differ for this key)
+    assert not np.array_equal(np.asarray(u_swap), np.asarray(u_sort))
+
+
+def test_refresh_vals_resurrection_check(monkeypatch):
+    """RECTPU_DEBUG_CHECKS flags a refresh that resurrects a build-time-zero
+    edge (the Bucket.ridx dead-slot contract, ADVICE r4)."""
+    import pytest
+
+    from recommendation_tpu.graph.bucketed import build_bucketed, refresh_vals
+
+    rows = np.array([0, 0, 1, 1], dtype=np.int64)
+    cols = np.array([1, 0, 0, 1], dtype=np.int64)
+    vals = np.array([1.0, 0.0, 1.0, 1.0], dtype=np.float32)  # edge 1 dead
+    csr = build_bucketed(rows, cols, vals, 2, 2)
+    monkeypatch.setenv("RECTPU_DEBUG_CHECKS", "1")
+    # mask-style refresh (preserves zeros): fine
+    out = refresh_vals(csr, jnp.asarray(vals) * 0.5)
+    jax.block_until_ready(jax.tree_util.tree_leaves(out.buckets[0].val))
+    # resurrecting the dead edge: flagged
+    with pytest.raises(Exception, match="resurrect|NONZERO"):
+        bad = refresh_vals(csr, jnp.ones(4, jnp.float32))
+        jax.block_until_ready(jax.tree_util.tree_leaves(bad.buckets[0].val))
