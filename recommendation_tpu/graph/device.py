@@ -404,6 +404,22 @@ class DeviceGraph:
         else:
             self.user_bitmap_fb = jnp.zeros((1, 1), jnp.int32)
 
+        # Edge-order membership rows [n_edge_rows, wtot] (round 5): the
+        # fused-epoch sampler draws each epoch's negatives in STATIC edge
+        # order (one per edge — an epoch is a permutation of edges) and lets
+        # them ride the shuffle's single row gather
+        # (`sampling.epoch_batches`). Pre-gathering the rows by edge turns
+        # the per-epoch [N, wtot] random row gather (~12 us/step at the
+        # headline shape, tools/probe_machinery.py) into a contiguous scan.
+        self.has_edge_bitmap_fb = False
+        self.edge_bitmap_fb = jnp.zeros((1, 1), jnp.int32)
+        if self.has_pos_bitmap:
+            fb_np = np.asarray(self.user_bitmap_fb)
+            eu_np = np.asarray(self.edge_users)
+            if eu_np.shape[0] * fb_np.shape[1] <= POS_TABLE_MAX_ELEMENTS:
+                self.edge_bitmap_fb = jnp.asarray(fb_np[eu_np])
+                self.has_edge_bitmap_fb = True
+
         # Dense int8 membership mask [n_users, n_items]: positive-test for
         # the mid-size envelope where the padded table is over cap but the
         # dense mask still fits (mask cap DENSE_MAX_ELEMENTS > table cap
@@ -501,13 +517,14 @@ class DeviceGraph:
         "norm_adj", "norm_adj_selfloops", "interaction_norm_dense",
         "user_positives", "user_degrees", "csr_indptr", "csr_items",
         "user_pos_mask", "user_pos_bitmap", "user_fallback_neg", "user_bitmap_fb",
+        "edge_bitmap_fb",
         "_bipartite_pull_tpl", "_bipartite_pull_t_tpl",
         "gat_aux",
     )
     _META_FIELDS = (
         "n_users", "n_items", "n_nodes", "n_edges", "max_degree", "backend",
         "compute_dtype", "has_pos_table", "has_pos_mask", "has_pos_bitmap",
-        "_W",
+        "has_edge_bitmap_fb", "_W",
     )
 
     def tree_flatten(self):

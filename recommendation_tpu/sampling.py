@@ -68,7 +68,7 @@ def uniform_ints(rng: jax.Array, shape, n: int) -> jnp.ndarray:
     return bits_to_ints(jax.random.bits(rng, shape, jnp.uint32), n)
 
 
-def keyed_permutation(rng: jax.Array, n: int, rounds: int = 64) -> jnp.ndarray:
+def keyed_permutation(rng: jax.Array, n: int, rounds: int | None = None) -> jnp.ndarray:
     """Exact pseudorandom permutation of ``[0, n)`` in O(rounds·n)
     ELEMENTWISE work — the sort-free epoch shuffle.
 
@@ -82,15 +82,20 @@ def keyed_permutation(rng: jax.Array, n: int, rounds: int = 64) -> jnp.ndarray:
     same bit), so the composition is always an exact bijection — verified by
     tests/test_sampling.py::test_keyed_permutation_is_bijection.
 
-    Mixing quality: rounds = 64 ≈ 4·lg(n) for million-edge graphs, beyond
-    the Θ(lg n) mixing bound. SGD epoch shuffling needs far less — and the
-    reference's own shuffle is Python's Mersenne-driven Fisher–Yates
-    (`selfcf.py:193` ``shuffle(...)``), also a PRG-driven permutation
-    family, so the uniformity CLASS is unchanged, only the family.
+    Mixing quality: ``rounds=None`` (default) uses max(24, 2·⌈lg n⌉) —
+    round 5 trimmed the fixed 64 (≈4·lg n for million-edge graphs, far
+    beyond the Θ(lg n) mixing bound) since SGD epoch shuffling needs far
+    less, and the reference's own shuffle is Python's Mersenne-driven
+    Fisher–Yates (`selfcf.py:193` ``shuffle(...)``), also a PRG-driven
+    permutation family — the uniformity CLASS is unchanged, only the
+    family. Quality re-validated after the change (BASELINE.md round-5
+    parity + leaderboard).
 
     The modulo is compare-add (operands already in [0, n)); the hash is a
     murmur-style multiply-xor-shift — no integer divide anywhere (TPU has
     none in hardware; see ``bits_to_ints``)."""
+    if rounds is None:
+        rounds = max(24, 2 * int(np.ceil(np.log2(max(n, 2)))))
     k1, k2 = jax.random.split(rng)
     ks = uniform_ints(k1, (rounds,), n)
     salts = jax.random.bits(k2, (rounds,), jnp.uint32)
@@ -267,6 +272,113 @@ def sample_negatives_epoch(
     )
     negs = jnp.where(jnp.all(bad, axis=0), fallback.astype(chosen.dtype), chosen)
     return negs.reshape(users.shape)
+
+
+def sample_negatives_epoch_edges(
+    rng: jax.Array,
+    graph: DeviceGraph,
+    n_redraws: int = 4,
+) -> jnp.ndarray:
+    """One epoch's negatives drawn PER EDGE in static edge order.
+
+    An epoch consumes each edge exactly once (the epoch is a permutation of
+    the edge list), so the negative for each edge can be drawn BEFORE the
+    shuffle and ride the shuffle's single row gather
+    (:func:`shuffled_epoch_fused`). The membership rows are then indexed by
+    the STATIC ``graph.edge_bitmap_fb`` (pre-gathered at build) — a
+    contiguous scan instead of the per-epoch [N, W+fb] random row gather,
+    which measured ~12 us/step of the headline bench (round-5
+    tools/probe_machinery.py; the gather was the sampler's largest item).
+
+    Same guarantee as :func:`sample_negatives`: a train positive is never
+    emitted (k up-front candidates checked against the bitmap, guaranteed-
+    negative fallback). Same uniformity class; the RNG stream differs from
+    the per-position sampler (bits are indexed by edge, not by batch slot).
+
+    Returns i32[n_edge_rows] (the padded edge-table length; padding rows'
+    draws are never consumed).
+    """
+    k = n_redraws + 1
+    n_fb = graph.user_fallback_neg.shape[1]
+    w = graph.user_pos_bitmap.shape[1]
+    rows = graph.edge_bitmap_fb  # [E, W + n_fb (+pad)] STATIC
+    e = rows.shape[0]
+    all_bits = jax.random.bits(rng, (k + 1, e), jnp.uint32)
+    draws = bits_to_ints(all_bits[:k], graph.n_items)  # [k, E]
+    fb_col = bits_to_ints(all_bits[k], n_fb)  # [E]
+    bmp, fb_rows = rows[:, :w], rows[:, w:w + n_fb]
+    dw = draws >> 5
+    iw = jnp.arange(w, dtype=dw.dtype)
+    sel = iw[None, None, :] == dw[:, :, None]  # [k, E, W]
+    word = jnp.sum(jnp.where(sel, bmp[None], 0), axis=2)  # [k, E]
+    bad = ((word >> (draws & 31)) & 1) > 0
+    first_good = jnp.argmax(~bad, axis=0)
+    chosen = jnp.take_along_axis(draws, first_good[None, :], axis=0)[0]
+    lane = jnp.arange(n_fb, dtype=fb_col.dtype)
+    fallback = jnp.sum(
+        jnp.where(lane[None, :] == fb_col[:, None], fb_rows, 0), axis=1
+    )
+    return jnp.where(jnp.all(bad, axis=0), fallback.astype(chosen.dtype), chosen)
+
+
+def shuffled_epoch_fused(
+    rng: jax.Array, graph: DeviceGraph, batch_size: int, negs_e: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, int]:
+    """:func:`shuffled_epoch` with the per-edge negatives riding the SAME
+    permutation row gather: one [total, 4] gather of (user, item, neg, pad)
+    rows — row gathers are issue-bound on this TPU, so the extra width over
+    the [total, 2] edge gather is free (round-3 probe A).
+
+    Tail batches are padded cyclically like :func:`shuffled_epoch`;
+    duplicated tail edges therefore share their epoch negative (≤B−1 rows,
+    statistically neutral). Returns (users, items, negs, weights, n_batches).
+    """
+    e = graph.n_edges
+    n_batches = max(1, -(-e // batch_size))
+    total = n_batches * batch_size
+    import os
+
+    if os.environ.get("RECTPU_SHUFFLE", "swapornot") == "sort":
+        perm = jax.random.permutation(rng, e).astype(jnp.int32)
+    else:
+        perm = keyed_permutation(rng, e)
+    if total > e:
+        reps = -(-total // e)
+        idx = jnp.tile(perm, reps)[:total]
+    else:
+        idx = perm
+    pad = jnp.zeros((graph.edge_ui.shape[0], 1), jnp.int32)
+    table = jnp.concatenate(
+        [graph.edge_ui, negs_e[: graph.edge_ui.shape[0], None], pad], axis=1
+    )
+    rows = table[idx]
+    users = rows[:, 0].reshape(n_batches, batch_size)
+    items = rows[:, 1].reshape(n_batches, batch_size)
+    negs = rows[:, 2].reshape(n_batches, batch_size)
+    weight = jnp.ones((n_batches, batch_size), dtype=jnp.float32)
+    return users, items, negs, weight, n_batches
+
+
+def epoch_batches(
+    shuffle_key: jax.Array,
+    neg_key: jax.Array,
+    graph: DeviceGraph,
+    batch_size: int,
+    n_redraws: int = 4,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, int]:
+    """One epoch's (users, items, negs, weights, n_batches) — the single
+    entry point every epoch-level trainer path draws through, so fused,
+    unfused and chunked trainers stay bit-identical to each other.
+
+    Routes through the edge-order fused path when the graph carries the
+    static edge membership rows (``graph.edge_bitmap_fb``), otherwise the
+    round-4 per-position sampler."""
+    if getattr(graph, "has_edge_bitmap_fb", False):
+        negs_e = sample_negatives_epoch_edges(neg_key, graph, n_redraws)
+        return shuffled_epoch_fused(shuffle_key, graph, batch_size, negs_e)
+    users, items, weights, nb = shuffled_epoch(shuffle_key, graph, batch_size)
+    negs = sample_negatives_epoch(neg_key, graph, users, n_redraws)
+    return users, items, negs, weights, nb
 
 
 def sample_pointwise(

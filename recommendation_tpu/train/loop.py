@@ -19,8 +19,7 @@ from recommendation_tpu.graph.device import DeviceGraph
 from recommendation_tpu.models.base import Model
 from recommendation_tpu.sampling import (
     PairwiseBatch,
-    sample_negatives_epoch,
-    shuffled_epoch,
+    epoch_batches,
 )
 
 
@@ -106,13 +105,15 @@ def make_epoch_fn(
 
     def epoch_fn(graph: DeviceGraph, params, opt_state, state, rng):
         shuffle_key, neg_key, step_key = jax.random.split(rng, 3)
-        users, items, weights, n_batches = shuffled_epoch(shuffle_key, graph, batch_size)
+        # whole-epoch shuffle + negatives through the ONE shared entry point
+        # (edge-order fused sampler where the graph supports it — see
+        # sampling.epoch_batches; per-step sampling measured ~32 us/step in
+        # round 4, the per-position epoch sampler's membership gather
+        # ~12 us/step in round 5)
+        users, items, negs, weights, n_batches = epoch_batches(
+            shuffle_key, neg_key, graph, batch_size, n_negs_redraws
+        )
         step_keys = jax.random.split(step_key, n_batches)
-        # negatives for the WHOLE epoch in one fused call: the per-step form
-        # serialized a fresh threefry key block, per-batch key splits and a
-        # scalar fallback gather into every step (~32 us/step measured,
-        # round-4 ablation + tools/probe_sampler.py).
-        negs = sample_negatives_epoch(neg_key, graph, users, n_negs_redraws)
 
         def step(carry, xs):
             params, opt_state, state = carry
@@ -152,8 +153,9 @@ def make_epoch_fn(
 
     def sample_all(graph, rng):
         shuffle_key, neg_key, step_key = jax.random.split(rng, 3)
-        users, items, weights, n_batches = shuffled_epoch(shuffle_key, graph, batch_size)
-        negs = sample_negatives_epoch(neg_key, graph, users, n_negs_redraws)
+        users, items, negs, weights, n_batches = epoch_batches(
+            shuffle_key, neg_key, graph, batch_size, n_negs_redraws
+        )
         step_keys = jax.random.split(step_key, n_batches)
         return users, items, negs, weights, step_keys
 
@@ -257,10 +259,9 @@ def make_multi_epoch_fn(
             and chunked trainers stay bit-identical to each other
             (tests/test_train_extras.py)."""
             shuffle_key, neg_key, step_key = jax.random.split(epoch_rng, 3)
-            users, items, weights, n_batches = shuffled_epoch(
-                shuffle_key, graph, batch_size
+            users, items, negs, weights, n_batches = epoch_batches(
+                shuffle_key, neg_key, graph, batch_size, n_negs_redraws
             )
-            negs = sample_negatives_epoch(neg_key, graph, users, n_negs_redraws)
             step_keys = jax.random.split(step_key, n_batches)
             return users, items, negs, weights, step_keys
 
@@ -309,7 +310,11 @@ def make_multi_epoch_fn(
             epoch_rngs = jax.random.split(rng, n_epochs)
 
         n_batches = max(1, -(-graph.n_edges // batch_size))
-        if getattr(graph, "has_pos_bitmap", False):
+        if getattr(graph, "has_edge_bitmap_fb", False):
+            # edge-order sampler: no batched membership gather — the widest
+            # vmapped intermediate is the [k+1, E] bits block
+            row_words = 8
+        elif getattr(graph, "has_pos_bitmap", False):
             row_words = graph.user_bitmap_fb.shape[1]
         elif getattr(graph, "has_pos_table", True) and hasattr(graph, "user_positives"):
             row_words = graph.user_positives.shape[1]

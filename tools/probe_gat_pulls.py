@@ -42,15 +42,15 @@ HEADS, D = 4, 64
 N_SHORT, N_LONG = 8, 32
 
 
-def timed_pair(make_fn, label):
+def timed_pair(make_fn, args, label):
     times = {}
     for n in (N_SHORT, N_LONG):
         fn = make_fn(n)
-        float(fn())
+        float(fn(*args))
         best = []
         for _ in range(3):
             t0 = time.perf_counter()
-            float(fn())
+            float(fn(*args))
             best.append(time.perf_counter() - t0)
         times[n] = min(best)
     per = (times[N_LONG] - times[N_SHORT]) / (N_LONG - N_SHORT) * 1e3
@@ -159,41 +159,44 @@ def main():
                    for t in jax.tree_util.tree_leaves(tree) if hasattr(t, "dtype"))
 
     def scan_of(body):
+        # the big tensors ride as ARGUMENTS: closure constants are embedded
+        # in the shipped program and blow the remote-compile request limit
         def make(steps):
             @jax.jit
-            def run():
+            def run(h, alpha_src, alpha_dst, g):
                 def step(c, _):
                     hh = h * (1.0 + c * 1e-20)
-                    return c + scalarize(body(hh)), None
+                    return c + scalarize(body(hh, alpha_src, alpha_dst, g)), None
                 c, _ = jax.lax.scan(step, jnp.float32(0.0), None, length=steps)
                 return c
             return run
         return make
 
-    t_fwd = timed_pair(scan_of(lambda hh: fwd_body(hh, alpha_src, alpha_dst)), "fwd")
-    t_fp = timed_pair(scan_of(lambda hh: fwdpass_body(hh, alpha_src, alpha_dst, g)),
-                      "bwd_fwdpass")
+    args = (h, alpha_src, alpha_dst, g)
+    t_fwd = timed_pair(scan_of(lambda hh, a, b, g: fwd_body(hh, a, b)), args, "fwd")
+    t_fp = timed_pair(scan_of(lambda hh, a, b, g: fwdpass_body(hh, a, b, g)),
+                      args, "bwd_fwdpass")
 
     def full(narrow, row):
-        def body(hh):
-            dz_flat, attd_flat, dad = fwdpass_body(hh, alpha_src, alpha_dst, g)
+        def body(hh, a, b, g):
+            dz_flat, attd_flat, dad = fwdpass_body(hh, a, b, g)
             parts = narrow(dz_flat, attd_flat)
             dh, dasrc = row(parts, g)
             return (dad, dh, dasrc)
         return body
 
     def narrow_only(narrow):
-        def body(hh):
-            dz_flat, attd_flat, dad = fwdpass_body(hh, alpha_src, alpha_dst, g)
+        def body(hh, a, b, g):
+            dz_flat, attd_flat, dad = fwdpass_body(hh, a, b, g)
             parts = narrow(dz_flat, attd_flat)
             dasrc = [jnp.sum(dzv, axis=1) for (_, dzv, _) in parts]
             return (dad, parts[0][0], dasrc)
         return body
 
-    t_no = timed_pair(scan_of(narrow_only(narrow_old)), "bwd_narrow_old")
-    t_nn = timed_pair(scan_of(narrow_only(narrow_new)), "bwd_narrow_new")
-    t_ro = timed_pair(scan_of(full(narrow_old, row_old)), "bwd_row_old")
-    t_rn = timed_pair(scan_of(full(narrow_new, row_new)), "bwd_row_new")
+    t_no = timed_pair(scan_of(narrow_only(narrow_old)), args, "bwd_narrow_old")
+    t_nn = timed_pair(scan_of(narrow_only(narrow_new)), args, "bwd_narrow_new")
+    t_ro = timed_pair(scan_of(full(narrow_old, row_old)), args, "bwd_row_old")
+    t_rn = timed_pair(scan_of(full(narrow_new, row_new)), args, "bwd_row_new")
 
     print("\nderived (ms/step):")
     print(f"  forward-layout pass            {t_fp:8.2f}")

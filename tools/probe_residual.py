@@ -112,7 +112,9 @@ def main():
     model0 = LightGCN(config0)
 
     # precomputed epoch-style xs (outside timing)
-    @jax.jit
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=1)
     def build_xs(rng, n):
         ku, ki, kj, kk = jax.random.split(rng, 4)
         us = jax.random.randint(ku, (n, BATCH), 0, graph.n_users)
