@@ -16,6 +16,30 @@ def test_make_flat_interactions_properties():
     assert len(np.unique(pairs, axis=0)) == len(pairs)
 
 
+def test_make_clustered_interactions_signal():
+    """The quality-at-scale fixture must carry conditional collaborative
+    signal (`make_flat_interactions` is popularity-optimal by construction):
+    ~(1-noise_rate) of edges land in the user's preferred clusters, pairs are
+    deduplicated, deterministic, and in range."""
+    from recommendation_tpu.data.synthetic import make_clustered_interactions
+
+    pairs, item_cluster, prefs = make_clustered_interactions(
+        500, 1000, 20_000, n_clusters=16, noise_rate=0.25, seed=5,
+        return_structure=True,
+    )
+    assert pairs.shape == (20_000, 2)
+    assert pairs[:, 0].max() < 500 and pairs[:, 1].max() < 1000
+    assert len(np.unique(pairs, axis=0)) == len(pairs)
+    u, i = pairs[:, 0], pairs[:, 1]
+    in_pref = (item_cluster[i][:, None] == prefs[u]).any(axis=1).mean()
+    # 75% by construction plus noise draws that happen to hit a pref cluster
+    assert 0.65 < in_pref < 0.95, in_pref
+    again = make_clustered_interactions(
+        500, 1000, 20_000, n_clusters=16, noise_rate=0.25, seed=5
+    )
+    assert np.array_equal(pairs, again)
+
+
 def test_array_interaction_graph_builds():
     pairs = make_flat_interactions(100, 150, 2000, seed=2)
     data = ArrayInteraction(pairs, 100, 150)

@@ -3,14 +3,21 @@
 Every Recall/NDCG number so far is at ML-100K shape; the bucketed backend
 that production graphs rely on had interchangeability tests and throughput
 numbers at 50k x 100k x 1M edges, but no committed evidence it LEARNS at
-that scale. This trains LightGCN-BPR and DirectAU on the `bench.py --large`
-fixture (10% holdout) through the bucketed backend — chunked fused epochs
-under the runtime watchdog — and evaluates Recall@20/NDCG@20 against the
-popularity baseline on the same split (protocol per `selfcf.py:408-428`:
-full-catalog ranking, train positives masked).
+that scale. This trains LightGCN-BPR and DirectAU at the `bench.py --large`
+SHAPE (50k x 100k x 1M, 10% holdout) through the bucketed backend — chunked
+fused epochs under the runtime watchdog — and evaluates Recall@20/NDCG@20
+against the popularity baseline on the same split (protocol per
+`selfcf.py:408-428`: full-catalog ranking, train positives masked).
+
+Fixture matters: the throughput bench's `make_flat_interactions` draws user
+and item INDEPENDENTLY, so popularity is its Bayes-optimal ranker — a model
+can only match it there (measured: LightGCN lands exactly on the popularity
+Recall@20; kept reachable via --fixture flat as the no-signal control). The
+quality row therefore uses `make_clustered_interactions` at the same shape:
+conditional cluster signal a model must LEARN to beat popularity.
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/quality_at_scale.py \
-         [--epochs 30] [--models lightgcn,directau]
+         [--epochs 30] [--models lightgcn,directau] [--fixture clustered|flat]
 """
 
 from __future__ import annotations
@@ -44,20 +51,28 @@ def main():
     ap.add_argument("--eval-interval", type=int, default=10)
     ap.add_argument("--models", default="lightgcn,directau")
     ap.add_argument("--batch", type=int, default=8192)
+    ap.add_argument("--fixture", default="clustered", choices=("clustered", "flat"))
     args = ap.parse_args()
 
     import jax
 
     from recommendation_tpu.config import default_config
-    from recommendation_tpu.data.synthetic import ArrayInteraction, make_flat_interactions
+    from recommendation_tpu.data.synthetic import (
+        ArrayInteraction,
+        make_clustered_interactions,
+        make_flat_interactions,
+    )
     from recommendation_tpu.evalx.metrics import ranking_metrics
     from recommendation_tpu.evalx.ranking import evaluate_ranking
     from recommendation_tpu.graph.device import DeviceGraph
     from recommendation_tpu.models import get_model
     from recommendation_tpu.train.loop import make_epoch_fn, make_optimizer
 
-    pairs = make_flat_interactions(50_000, 100_000, 1_000_000, seed=3)
+    maker = {"clustered": make_clustered_interactions,
+             "flat": make_flat_interactions}[args.fixture]
+    pairs = maker(50_000, 100_000, 1_000_000, seed=3)
     data = ArrayInteraction(pairs, 50_000, 100_000, test_fraction=0.1)
+    print(f"fixture: {args.fixture}")
     print(f"train edges {len(data.edge_users):,}, test edges "
           f"{len(data.test_pairs):,}, test users {len(data.test_user_ids()):,}")
 
