@@ -78,6 +78,13 @@ def _score_block(u_emb, item_emb, u_pos, k):
     return masked_topk(scores, u_pos, k)
 
 
+def _pow2_bucket(n: int, cap: int) -> int:
+    b = 1
+    while b < n:
+        b <<= 1
+    return min(b, cap)
+
+
 def topk_with_exclusions(
     user_emb: jnp.ndarray,
     item_emb: jnp.ndarray,
@@ -90,16 +97,28 @@ def topk_with_exclusions(
 
     ``_score_block`` is a module-level jit with ``item_emb`` as an ARGUMENT —
     a per-call closure would bake the table in as a constant and recompile
-    every evaluation."""
+    every evaluation. The partial tail block is PADDED to a power-of-two
+    bucket (zero user rows, −1 positives) and sliced back: otherwise every
+    distinct residual size compiles its own program — under the serving
+    micro-batcher, whose wave sizes vary request-to-request, that measured
+    as a 20-70 s compile stall per new wave size instead of one ~70 ms
+    device call (tools/serve_latency_bench.py). Caps the jit cache at
+    ≤ log2(batch_size)+1 programs per (k, n_items)."""
     n = user_emb.shape[0]
     outs_s, outs_i = [], []
     for start in range(0, n, batch_size):
-        s, i = _score_block(
-            user_emb[start:start + batch_size],
-            item_emb,
-            jnp.asarray(user_positives[start:start + batch_size]),
-            k,
-        )
-        outs_s.append(s)
-        outs_i.append(i)
+        ue = jnp.asarray(user_emb[start:start + batch_size])
+        up = jnp.asarray(user_positives[start:start + batch_size])
+        b = ue.shape[0]
+        pb = _pow2_bucket(b, batch_size)
+        if pb != b:
+            ue = jnp.concatenate(
+                [ue, jnp.zeros((pb - b, ue.shape[1]), ue.dtype)]
+            )
+            up = jnp.concatenate(
+                [up, jnp.full((pb - b, up.shape[1]), -1, up.dtype)]
+            )
+        s, i = _score_block(ue, item_emb, up, k)
+        outs_s.append(s[:b])
+        outs_i.append(i[:b])
     return jnp.concatenate(outs_s), jnp.concatenate(outs_i)

@@ -113,8 +113,22 @@ class RecommenderService:
     def _recommend_ids_device(
         self, user_ids: Sequence[int], k: int = 10, exclude_seen: bool = True
     ) -> tuple[np.ndarray, np.ndarray]:
-        """The actual device query (what the batcher dispatches)."""
+        """The actual device query (what the batcher dispatches).
+
+        The uid batch is padded to a power-of-two bucket BEFORE any device
+        indexing: wave sizes vary request-to-request under the micro-batcher,
+        and every distinct length otherwise compiles a fresh program for the
+        ``user_emb[uids]`` / positives gathers and the score/top-k step —
+        measured as 6-22 s stalls per new wave size on late-session compiles
+        (tools/serve_latency_bench.py) instead of one ~70 ms device call.
+        Padding rows repeat user 0 and are sliced off the result."""
+        from recommendation_tpu.ops.topk import _pow2_bucket
+
         uids = np.asarray(user_ids, dtype=np.int32)
+        b = len(uids)
+        pb = _pow2_bucket(max(b, 1), max(1024, b))
+        if pb != b:
+            uids = np.concatenate([uids, np.zeros(pb - b, np.int32)])
         u = self.user_emb[uids]
         if self.mesh is not None:
             from recommendation_tpu.parallel.collectives import sharded_topk
@@ -123,7 +137,7 @@ class RecommenderService:
             u = put_global(np.asarray(u), self._rep_sharding)
             if not exclude_seen:
                 s, i = sharded_topk(u, self._item_sharded, k, self.mesh)
-                return fetch_global(s), fetch_global(i)
+                return fetch_global(s)[:b], fetch_global(i)[:b]
             # with exclusions: over-fetch past the heaviest requested user's
             # degree PLUS the zero-scoring padding rows from pad_rows_to
             # (they can displace real candidates), then mask post-merge with
@@ -136,18 +150,27 @@ class RecommenderService:
             n_items = self.data.item_num
             n_pad = self._item_sharded.shape[0] - n_items
             kk = min(k + over + n_pad, self._item_sharded.shape[0])
+            # Round the over-fetch up to a multiple of 64: kk depends on the
+            # wave's heaviest user, so an exact kk is a fresh compile per
+            # degree value; extra candidates are masked/sliced below.
+            kk = min(-(-kk // 64) * 64, self._item_sharded.shape[0])
             s, i = sharded_topk(u, self._item_sharded, kk, self.mesh)
-            s, i = fetch_global(s), fetch_global(i)
-            s = mask_seen_post_merge(s, i, uids, self._train_keys, n_items, MASK_VALUE)
+            s, i = fetch_global(s)[:b], fetch_global(i)[:b]
+            s = mask_seen_post_merge(s, i, uids[:b], self._train_keys, n_items, MASK_VALUE)
             order = np.argsort(-s, axis=1)[:, :k]
             return np.take_along_axis(s, order, axis=1), np.take_along_axis(i, order, axis=1)
         if exclude_seen:
             if getattr(self.graph, "has_pos_table", True):
                 pos = self.graph.user_positives[uids]
             else:
+                from recommendation_tpu.ops.topk import _pow2_bucket
+
                 mat = self.data.interaction_mat
                 degs = np.diff(mat.indptr)[uids]
                 width = max(1, int(degs.max()) if len(degs) else 1)
+                # power-of-two width: exact per-wave max degree would be a
+                # fresh compile per distinct value under the micro-batcher
+                width = _pow2_bucket(width, mat.shape[1])
                 pos = np.full((len(uids), width), -1, dtype=np.int32)
                 for row, uid in enumerate(uids):
                     items = mat.indices[mat.indptr[uid]:mat.indptr[uid + 1]]
@@ -155,7 +178,7 @@ class RecommenderService:
         else:
             pos = np.full((len(uids), 1), -1, dtype=np.int32)
         s, i = topk_with_exclusions(u, self.item_emb, pos, k)
-        return np.asarray(s), np.asarray(i)
+        return np.asarray(s)[:b], np.asarray(i)[:b]
 
     def recommend(
         self, users: Sequence, k: int = 10, exclude_seen: bool = True

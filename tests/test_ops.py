@@ -87,6 +87,22 @@ def test_topk_with_exclusions_vs_argsort_oracle(tiny_data, tiny_graph):
             assert set(got.tolist()) == set(np.argsort(-masked)[:n_unmasked])
 
 
+def test_topk_with_exclusions_tail_padding(tiny_graph):
+    """Ragged query batches (the serving micro-batcher's wave sizes) are
+    padded to power-of-two buckets and sliced back — results must be
+    identical to the full-batch answer for every ragged size."""
+    rng = np.random.default_rng(2)
+    ue = rng.normal(size=(tiny_graph.n_users, 8)).astype(np.float32)
+    ie = rng.normal(size=(tiny_graph.n_items, 8)).astype(np.float32)
+    pos = np.asarray(tiny_graph.user_positives)
+    s_full, ids_full = topk_with_exclusions(ue, ie, pos, 5)
+    for n in (1, 3, 7, 13):
+        s, ids = topk_with_exclusions(ue[:n], ie, pos[:n], 5)
+        assert s.shape == (n, 5) and ids.shape == (n, 5)
+        assert np.array_equal(np.asarray(ids), np.asarray(ids_full)[:n])
+        assert np.allclose(np.asarray(s), np.asarray(s_full)[:n])
+
+
 def test_kmeans_separates_clusters():
     rng = np.random.default_rng(0)
     a = rng.normal(size=(50, 4)).astype(np.float32) + 10

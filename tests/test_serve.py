@@ -169,6 +169,20 @@ def test_microbatcher_correctness_and_coalescing(trained):
         service.disable_batching()
 
 
+def test_ragged_batch_padding_matches_per_user(trained):
+    """Ragged query batches are padded to power-of-two buckets before device
+    indexing (compile-cache bound for micro-batcher waves) and sliced back —
+    every ragged size must return exactly the per-user answers."""
+    service = RecommenderService.from_recommender(trained)
+    per_user = {u: service.recommend_ids([u], 5) for u in range(13)}
+    for n in (1, 3, 5, 13):
+        s, ids = service.recommend_ids(list(range(n)), 5)
+        assert s.shape == (n, 5) and ids.shape == (n, 5)
+        for u in range(n):
+            assert np.array_equal(np.asarray(ids)[u], np.asarray(per_user[u][1])[0]), u
+            assert np.allclose(np.asarray(s)[u], np.asarray(per_user[u][0])[0]), u
+
+
 def test_http_concurrent_load(trained):
     """Load smoke: 60 concurrent HTTP requests against the batched server —
     every response 200 with k results, server survives."""

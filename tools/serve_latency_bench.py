@@ -38,13 +38,17 @@ def main():
     rec.build()
     rec.train()
     svc = RecommenderService.from_recommender(rec)
-    svc.enable_batching(max_batch=1024, max_wait_ms=2.0)
     rng = np.random.default_rng(0)
     n_users = data.user_num
 
-    # warmup: compile every batch-size bucket the batcher will hit
-    for b in (1, 8, 64, 1024):
+    # warmup: compile every power-of-two batch bucket the batcher can hit
+    # (waves are padded to buckets — see ops/topk.py topk_with_exclusions).
+    # Done BEFORE enable_batching: the direct path shares the module-level
+    # jitted programs, and late-session compiles (70s+) would blow the
+    # batcher's 60s future timeout.
+    for b in (1, 2, 4, 8, 16, 32, 64, 1024):
         svc.recommend_ids(list(rng.integers(0, n_users, size=b)), k=20)
+    svc.enable_batching(max_batch=1024, max_wait_ms=2.0)
 
     print(f"{'clients':>8} {'qps':>9} {'p50_ms':>8} {'p95_ms':>8} {'p99_ms':>8}",
           flush=True)
