@@ -403,12 +403,18 @@ def run_epoch_section(graph, model, params, state, optimizer, opt_state,
     # make_multi_epoch_fn, vmapped across epochs) vs xs CONSUMPTION alone
     # (the real step scanned over precomputed arrays) — the two must
     # roughly add up to epoch_full; whichever is big names the residual.
-    from recommendation_tpu.sampling import sample_negatives_epoch
+    # NB: draws through sampling.epoch_batches — the shared entry point the
+    # trainers use — so this follows the production path as it evolves
+    # (round-5 edge-order fused sampler; the old shuffled_epoch +
+    # sample_negatives_epoch composition measured 41 µs/step here vs ~20
+    # for the fused form, and is what shuffle_only/sample_epoch isolate).
+    from recommendation_tpu.sampling import epoch_batches
 
     def machinery(epoch_rng):
         shuffle_key, neg_key, step_key = jax.random.split(epoch_rng, 3)
-        users, items, weights, nb = shuffled_epoch(shuffle_key, graph, BATCH)
-        negs = sample_negatives_epoch(neg_key, graph, users)
+        users, items, negs, weights, nb = epoch_batches(
+            shuffle_key, neg_key, graph, BATCH
+        )
         step_keys = jax.random.split(step_key, nb)
         return users, items, negs, weights, step_keys
 
